@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship operation chain (the reference's example-1
+shape: read_meta → normalize → fingerprint → copy) over sf0.001;
+``queries``/``oracle_sql`` expose every implemented operator with its
+DuckDB oracle (see arion_spark/queries.py).
 """
 
 from __future__ import annotations
@@ -13,26 +12,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from arion_spark import queries as q
+from arion_spark.plans.compiler import run_pipeline
+from arion_spark.transcripts import transcripts_from_events
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    spec = {
+        "operations": [
+            {"type": "read_meta", "params": {"info": True}},
+            {
+                "type": "normalize",
+                "params": {"width": 64, "type": "fill", "gravity": "center", "quality": 92},
+            },
+            {"type": "fingerprint", "params": {"type": "md5"}},
+            {"type": "copy", "params": {"output_table": "/tmp/arion_spark_entry_copy"}},
+        ]
+    }
+    out = run_pipeline(spark, spec, t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "caption",
+        "model_released",
+        "normalized_text",
+        "turn_md5",
+        "conv_fp",
+        "result",
+        "total_operations",
+        "failed_operations",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return q.oracle_sql()

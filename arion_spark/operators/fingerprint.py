@@ -1,0 +1,87 @@
+"""``fingerprint`` — MD5 fingerprints (operator O4).
+
+Transposition of the reference's decoded-pixel-buffer MD5 (reference:
+src/models/fingerprint.cpp:130-150, hash core src/utils/utils.hpp:70-96):
+the hash covers the *canonical decoded* representation — for us, the turn
+``text`` under stable ``turn_idx`` ordering (the orientation-
+canonicalization analog, reference: src/arion.cpp:325-405).
+
+Three surfaces, all built-in JVM expressions (no Python anywhere):
+
+* :func:`per_turn`     — ``md5(text)`` per row (narrow, codegen'd).
+* :func:`conversation` — rolling fold ``fp_i = md5(fp_{i-1} || md5(text_i))``
+  per conv_id, folded in turn_idx order via
+  ``aggregate(array_sort(collect_list(...)))`` — ONE shuffle on conv_id,
+  map-side partial collect, then a JVM lambda fold.  A conversation is
+  the reference's one-image working set: bounded, fits in an executor.
+* :func:`rolling`      — the per-turn running prefix fingerprint (window
+  variant) used for batch↔stream parity checks.
+
+Scale note: the conv_id shuffle is the only wide dependency; hot
+conversations are handled upstream by salting (see
+arion_spark.streaming.skew) — fingerprint itself is skew-neutral because
+state per key is O(turns-in-conv).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def turn_md5_col(text: Column) -> Column:
+    """md5 of UTF-8 text bytes → 32-char lowercase hex (matches both
+    hashlib and DuckDB md5())."""
+    return F.md5(text.cast("binary"))
+
+
+def per_turn(df: DataFrame, text_col: str = "text", out_col: str = "turn_md5") -> DataFrame:
+    return df.withColumn(out_col, turn_md5_col(F.col(text_col)))
+
+
+def _fold(md5_array: Column) -> Column:
+    """Ordered fold fp = md5(acc || md5_i), acc0 = ''  (JVM lambda)."""
+    return F.aggregate(md5_array, F.lit(""), lambda acc, x: F.md5(F.concat(acc, x).cast("binary")))
+
+
+def conversation(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    out_col: str = "conv_fp",
+) -> DataFrame:
+    """One row per conversation: (conv_id, n_turns, conv_fp).
+
+    collect_list is unordered across tasks, so ordering is re-established
+    deterministically by sorting (turn_idx, md5) structs *after* the
+    shuffle — arrival order never affects the fold (the same invariant the
+    streaming path enforces by buffering out-of-order turns in state).
+    """
+    pairs = F.collect_list(
+        F.struct(F.col(order_col).alias("i"), turn_md5_col(F.col(text_col)).alias("m"))
+    )
+    ordered = F.transform(F.array_sort(pairs), lambda s: s.getField("m"))
+    return df.groupBy(conv_col).agg(
+        F.count("*").cast("int").alias("n_turns"),
+        _fold(ordered).alias(out_col),
+    )
+
+
+def rolling(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    out_col: str = "conv_fp",
+) -> DataFrame:
+    """Per-turn running prefix fingerprint: row i carries the fold over
+    turns 0..i of its conversation (batch twin of the streaming state's
+    incremental fold; used for parity tests)."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = F.collect_list(turn_md5_col(F.col(text_col))).over(w)
+    return df.withColumn(out_col, _fold(prefix))

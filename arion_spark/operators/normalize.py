@@ -1,0 +1,153 @@
+"""``normalize`` — per-turn text normalization (operator O2, resize analog).
+
+Transposes the reference's resize pipeline (reference:
+src/models/resize.cpp:610-829) to text-length budgets: pre-filter →
+geometry (width/height/square/fill × 9-way gravity) → sharpen → watermark.
+Exact semantics are defined by :mod:`arion_spark.oracle`.
+
+Physical strategy (the scale-critical decision):
+  * pre-filter, all four geometry algorithms, and sharpen compile to
+    **built-in JVM expressions** (substring/lpad/rpad/concat/upper) —
+    whole-stage-codegen'd, narrow, no Python worker involved.  This is
+    the hot path for 100 TB.
+  * only the watermark decoration (per-position periodic overlay, not
+    expressible as a fixed SQL expression tree) drops to an
+    Arrow-vectorized pandas UDF — applied *after* the JVM stages so a
+    chain without watermarks never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arion_spark import oracle
+
+
+def _crop_pad_expr(text: Column, target: int, pos: str) -> Column:
+    """JVM expression mirror of ``oracle._crop_pad``.
+
+    offset: left→0, center→floor((n-t+1)/2) (≡ round-half-up of (n-t)/2
+    for integer n-t), right→n-t; shorter inputs pad with spaces on the
+    side opposite the gravity.
+    """
+    n = F.length(text)
+    t = F.lit(target)
+    if pos == "left":
+        off = F.lit(0)
+    elif pos == "right":
+        off = n - t
+    else:
+        off = F.floor((n - t + 1) / 2).cast("int")
+    cropped = F.substring(text, off + 1, target)  # substring is 1-based
+
+    pad = t - n
+    if pos == "left":
+        padded = F.rpad(text, target, " ")
+    elif pos == "right":
+        padded = F.lpad(text, target, " ")
+    else:
+        left = F.floor(pad / 2).cast("int")
+        padded = F.rpad(F.concat(F.repeat(F.lit(" "), left), text), target, " ")
+    return F.when(n >= t, cropped).otherwise(padded)
+
+
+def geometry_expr(
+    text: Column,
+    width: int | None,
+    height: int | None,
+    type_: str,
+    gravity: str = "center",
+) -> Column:
+    """The four resize algorithms as one JVM expression
+    (see oracle.normalize_geometry for the semantic definition)."""
+    if type_ == "width":
+        target = width if height is None else min(width, height)
+        return _crop_pad_expr(text, target, "left")
+    if type_ == "height":
+        target = height if width is None else min(height, width)
+        return _crop_pad_expr(text, target, "left")
+    if type_ == "square":
+        return _crop_pad_expr(text, width, "center")
+    if type_ == "fill":
+        return _crop_pad_expr(text, width, oracle.GRAVITY_POS[gravity.lower()])
+    raise ValueError(f"unknown resize type: {type_}")
+
+
+def pre_filter_expr(text: Column) -> Column:
+    """Whitespace-collapse pre-pass (anti-alias analog),
+    reference: src/models/resize.cpp:685-694."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def sharpen_expr(text: Column, amount: float, radius: float) -> Column:
+    """Leading-emphasis sharpen (reference: src/models/resize.cpp:700-712)."""
+    if not amount:
+        return text
+    k = F.least(F.length(text), F.floor(F.lit(amount / 100.0 * radius) + 0.5)).cast(
+        "int"
+    )
+    return F.concat(
+        F.upper(F.substring(text, 1, k)),
+        F.substring(text, k + 1, F.length(text)),
+    )
+
+
+def watermark_udf(
+    mark: str,
+    wm_type: str,
+    amount: float,
+    min_amount: float,
+    max_amount: float,
+):
+    """Arrow-vectorized watermark overlay — the one sub-transform that is
+    data-dependent per character position (reference adaptive blend:
+    src/models/resize.cpp:880-896) and so runs in a pandas UDF."""
+
+    @F.pandas_udf(T.StringType())
+    def _wm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: oracle.watermark_text_op(
+                t, mark, wm_type, amount, min_amount, max_amount
+            )
+            if t is not None
+            else None
+        )
+
+    return _wm
+
+
+def apply(
+    df: DataFrame,
+    params: dict,
+    in_col: str = "text",
+    out_col: str = "normalized_text",
+) -> DataFrame:
+    """Full normalize chain in the reference's run order."""
+    text = F.col(in_col)
+    if params.get("pre_filter"):
+        text = pre_filter_expr(text)
+    text = geometry_expr(
+        text,
+        params.get("width"),
+        params.get("height"),
+        params.get("type", "width"),
+        params.get("gravity", "center"),
+    )
+    text = sharpen_expr(
+        text, params.get("sharpen_amount", 0), params.get("sharpen_radius", 0)
+    )
+    out = df.withColumn(out_col, text)
+    mark = params.get("watermark_text")
+    if mark:
+        wm = watermark_udf(
+            mark,
+            params.get("watermark_type", "standard"),
+            params.get("watermark_amount", 0.0),
+            params.get("watermark_min", 0.0),
+            params.get("watermark_max", 0.0),
+        )
+        out = out.withColumn(out_col, wm(F.col(out_col)))
+    return out

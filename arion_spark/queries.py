@@ -1,0 +1,531 @@
+"""Query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle SQL string over the same parquet tables.
+
+This is the correctness gate (driver contract in ``__spark_entry__.py``):
+Spark result and DuckDB oracle must agree on row count, schema and
+order-insensitive value hash.  Column names/types are aligned on both
+sides; floats are computed in float64 and rounded identically before
+comparison.
+
+The transcript-shaped input is derived deterministically from the
+``events`` table by ONE dialect-templated SQL text
+(arion_spark.transcripts.TRANSCRIPTS_SQL_TEMPLATE), verified bit-for-bit
+identical across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arion_spark.functions import dedup, similarity, text as txt
+from arion_spark.operators import fingerprint as op_fp
+from arion_spark.operators import normalize as op_norm
+from arion_spark.operators import read_meta as op_meta
+from arion_spark.transcripts import TRANSCRIPTS_SQL_DUCKDB, transcripts_from_events
+
+_T = f"WITH transcripts AS ({TRANSCRIPTS_SQL_DUCKDB})"
+
+# DuckDB fragments mirroring the operator semantics --------------------------
+
+_D_TOKENS = (
+    "CASE WHEN trim(lower({c})) = '' THEN [] "
+    "ELSE regexp_split_to_array(trim(lower({c})), '\\s+') END"
+)
+_D_NTOK = (
+    "CASE WHEN trim({c}) = '' THEN 0 "
+    "ELSE cast(len(regexp_split_to_array(trim({c}), '\\s+')) AS INT) END"
+)
+
+
+def _d_fill_center(c: str, w: int) -> str:
+    return (
+        f"CASE WHEN length({c}) >= {w} THEN "
+        f"substr({c}, cast(floor((length({c}) - {w} + 1) / 2) AS INT) + 1, {w}) "
+        f"ELSE repeat(' ', cast(floor(({w} - length({c})) / 2) AS INT)) || {c} || "
+        f"repeat(' ', {w} - length({c}) - cast(floor(({w} - length({c})) / 2) AS INT)) END"
+    )
+
+
+def _d_fill_right(c: str, w: int) -> str:
+    return (
+        f"CASE WHEN length({c}) >= {w} THEN substr({c}, length({c}) - {w} + 1, {w}) "
+        f"ELSE repeat(' ', {w} - length({c})) || {c} END"
+    )
+
+
+def _d_fill_left(c: str, w: int) -> str:
+    return (
+        f"CASE WHEN length({c}) >= {w} THEN substr({c}, 1, {w}) "
+        f"ELSE {c} || repeat(' ', {w} - length({c})) END"
+    )
+
+
+_D_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len({t}) - 1, 1)), i -> array_to_string({t}[i:i+1], ' ')))"
+)
+
+
+def _d_minhash_sig(sh: str, perms: int = dedup.MINHASH_PERMS) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5('{j}:' || s)))" for j in range(perms)
+    )
+    return f"[{mins}]"
+
+
+# ---------------------------------------------------------------------------
+# Spark query implementations
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_chain_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_meta + normalize(fill/center/64) + per-turn fingerprint — the
+    reference's example-1 chain shape over transcripts."""
+    t = transcripts_from_events(spark, sf_dir)
+    t = op_meta.extract(t)
+    t = op_norm.apply(t, {"width": 64, "type": "fill", "gravity": "center", "quality": 92})
+    t = op_fp.per_turn(t)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "caption",
+        F.array_join("keywords", "|").alias("keywords_str"),
+        "model_released",
+        "property_released",
+        "n_tokens",
+        "normalized_text",
+        "turn_md5",
+    )
+
+
+_SQL_CHAIN_FLAGSHIP = f"""{_T}
+SELECT conv_id, turn_idx, role,
+  trim(string_split(text, ',')[1]) AS caption,
+  array_to_string(list_filter(list_transform(string_split(text, ','), x -> trim(x)),
+                              x -> x <> ''), '|') AS keywords_str,
+  contains(lower(text), 'model released (mr)') AS model_released,
+  contains(lower(text), 'property released (pr)') AS property_released,
+  {_D_NTOK.format(c='text')} AS n_tokens,
+  {_d_fill_center('text', 64)} AS normalized_text,
+  md5(text) AS turn_md5
+FROM transcripts
+"""
+
+
+def q_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize-analog parameter grid: 4 geometry variants at once
+    (reference gravity grid: tests/functional/test.py:417-841)."""
+    t = transcripts_from_events(spark, sf_dir)
+    c = F.col("text")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        op_norm.geometry_expr(c, 24, None, "fill", "center").alias("fill_center_24"),
+        op_norm.geometry_expr(c, 24, None, "fill", "ne").alias("fill_ne_24"),
+        op_norm.geometry_expr(c, 24, None, "fill", "sw").alias("fill_sw_24"),
+        op_norm.geometry_expr(c, 16, None, "square").alias("square_16"),
+        op_norm.geometry_expr(c, 20, 30, "width").alias("width_20"),
+    )
+
+
+_SQL_NORMALIZE_GRID = f"""{_T}
+SELECT conv_id, turn_idx,
+  {_d_fill_center('text', 24)} AS fill_center_24,
+  {_d_fill_right('text', 24)} AS fill_ne_24,
+  {_d_fill_left('text', 24)} AS fill_sw_24,
+  {_d_fill_center('text', 16)} AS square_16,
+  {_d_fill_left('text', 20)} AS width_20
+FROM transcripts
+"""
+
+
+def q_fingerprint_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return op_fp.conversation(transcripts_from_events(spark, sf_dir))
+
+
+_SQL_FINGERPRINT_CONV = f"""{_T}
+SELECT conv_id, cast(count(*) AS INT) AS n_turns,
+  list_reduce(list_prepend('', list(md5(text) ORDER BY turn_idx)),
+              (a, b) -> md5(a || b)) AS conv_fp
+FROM transcripts GROUP BY conv_id
+"""
+
+
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = op_fp.rolling(transcripts_from_events(spark, sf_dir))
+    return t.select("conv_id", "turn_idx", "conv_fp")
+
+
+_SQL_FINGERPRINT_ROLLING = f"""{_T}
+SELECT conv_id, turn_idx,
+  list_reduce(list_prepend('', list(md5(text)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    (a, b) -> md5(a || b)) AS conv_fp
+FROM transcripts
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 30 min) — the batch twin of the
+    streaming session_window operator."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap > 1800, 1).otherwise(0)
+    t = t.withColumn(
+        "session_seq",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return t.groupBy("conv_id", "session_seq").agg(
+        F.count("*").cast("int").alias("n_turns"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
+_SQL_SESSIONIZE = f"""{_T},
+marked AS (
+  SELECT conv_id, turn_idx, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) > 1800
+         THEN 1 ELSE 0 END AS brk
+  FROM transcripts),
+sessions AS (
+  SELECT conv_id, ts,
+    cast(sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+  FROM marked)
+SELECT conv_id, session_seq, cast(count(*) AS INT) AS n_turns,
+       min(ts) AS ts_min, max(ts) AS ts_max
+FROM sessions GROUP BY conv_id, session_seq
+"""
+
+
+def q_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per role — batch twin of the
+    streaming windowed aggregate."""
+    t = transcripts_from_events(spark, sf_dir)
+    return (
+        t.groupBy(F.window("ts", "1 hour").start.alias("window_start"), "role")
+        .agg(
+            F.count("*").cast("int").alias("n_turns"),
+            F.countDistinct("conv_id").cast("int").alias("n_convs"),
+        )
+    )
+
+
+_SQL_TUMBLING_HOUR = f"""{_T}
+SELECT date_trunc('hour', ts) AS window_start, role,
+  cast(count(*) AS INT) AS n_turns,
+  cast(count(DISTINCT conv_id) AS INT) AS n_convs
+FROM transcripts GROUP BY 1, 2
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User→assistant correlation within a 1-hour horizon — the batch twin
+    of the watermark-bounded stream-stream interval join."""
+    t = transcripts_from_events(spark, sf_dir)
+    u = t.where(F.col("role") == "user").select(
+        F.col("conv_id").alias("u_conv"), F.col("turn_idx"), F.col("ts").alias("u_ts")
+    )
+    a = t.where(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("a_conv"), F.col("ts").alias("a_ts")
+    )
+    cond = (
+        (F.col("u_conv") == F.col("a_conv"))
+        & (F.col("a_ts") >= F.col("u_ts"))
+        & (F.col("a_ts") < F.col("u_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    j = u.join(a, cond, "left")
+    return j.groupBy(F.col("u_conv").alias("conv_id"), F.col("turn_idx")).agg(
+        F.count("a_ts").cast("int").alias("n_responses"),
+        F.min("a_ts").alias("first_response_ts"),
+    )
+
+
+_SQL_INTERVAL_JOIN = f"""{_T}
+SELECT u.conv_id, u.turn_idx,
+  cast(count(a.ts) AS INT) AS n_responses,
+  min(a.ts) AS first_response_ts
+FROM transcripts u
+LEFT JOIN transcripts a
+  ON a.conv_id = u.conv_id AND a.role = 'assistant'
+ AND a.ts >= u.ts AND a.ts < u.ts + INTERVAL 1 HOUR
+WHERE u.role = 'user'
+GROUP BY u.conv_id, u.turn_idx
+"""
+
+
+def q_salted_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over conv_id (hot-key defusal): partial
+    agg on (conv_id, salt), then merge — result equals the plain groupBy
+    (the oracle proves it)."""
+    t = transcripts_from_events(spark, sf_dir)
+    salted = t.withColumn("_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(8)))
+    partial = salted.groupBy("conv_id", "_salt").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("u"),
+        F.max(F.length("text")).alias("m"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("c").cast("int").alias("n_turns"),
+        F.sum("u").cast("int").alias("n_user"),
+        F.max("m").cast("int").alias("max_len"),
+    )
+
+
+_SQL_SALTED_CONV_STATS = f"""{_T}
+SELECT conv_id, cast(count(*) AS INT) AS n_turns,
+  cast(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS INT) AS n_user,
+  cast(max(length(text)) AS INT) AS max_len
+FROM transcripts GROUP BY conv_id
+"""
+
+
+# -- training-data pipeline ops over documents / embeddings ------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, cast(count(*) AS INT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    feats = txt.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        txt.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        txt.lang_id_col(F.col("text")).alias("lang_pred"),
+    )
+
+
+_D_STOPS = "(" + ", ".join(f"'{s}'" for s in txt.STOPWORDS) + ")"
+_D_LANGS = sorted(txt.LANG_MARKERS.items())
+_D_LANG_SCORES = ", ".join(
+    "len(list_filter({t}, x -> x IN (".format(t="toks")
+    + ", ".join(f"'{m}'" for m in marks)
+    + f"))) AS s_{lang}"
+    for lang, marks in _D_LANGS
+)
+_D_LANG_BEST = "greatest(" + ", ".join(f"s_{l}" for l, _ in _D_LANGS) + ")"
+_D_LANG_CASE = (
+    f"CASE WHEN {_D_LANG_BEST} = 0 THEN 'unk' "
+    + " ".join(f"WHEN s_{l} = {_D_LANG_BEST} THEN '{l}'" for l, _ in _D_LANGS[:-1])
+    + f" ELSE '{_D_LANGS[-1][0]}' END"
+)
+
+_SQL_DOCS_QUALITY = f"""
+WITH tok AS (
+  SELECT doc_id, text, {_D_TOKENS.format(c='text')} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, text, toks, len(toks) AS n_tok, {_D_LANG_SCORES} FROM tok)
+SELECT doc_id,
+  cast(length(text) AS INT) AS n_chars,
+  cast(n_tok AS INT) AS n_tokens,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1), 4)
+    AS alpha_ratio,
+  round(len(list_filter(toks, x -> x IN {_D_STOPS})) / greatest(n_tok, 1), 4)
+    AS stopword_ratio,
+  round(length(regexp_replace(text, '\\s+', '', 'g')) / greatest(n_tok, 1), 4)
+    AS mean_token_len,
+  cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT)
+    AS bpe_tokens,
+  {_D_LANG_CASE} AS lang_pred
+FROM scored
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dedup.with_minhash(_docs(spark, sf_dir))
+    return d.select("doc_id", F.array_join("minhash", "|").alias("sig_str"))
+
+
+_SQL_MINHASH = f"""
+WITH tok AS (
+  SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM tok)
+SELECT doc_id, array_to_string({_d_minhash_sig('shingles')}, '|') AS sig_str
+FROM sh
+"""
+
+
+def _near_dup_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic 80 %-prefix mutations (ids +1_000_000) —
+    guarantees real near-duplicate pairs exist in the synthetic corpus."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = txt.tokens_col(F.col("text"))
+    k = F.greatest(F.floor(F.size(toks) * 0.8), F.lit(1)).cast("int")
+    mut = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, k)).alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+_D_NEAR_DUP_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+    array_to_string(t.toks[1:cast(greatest(floor(len(t.toks) * 0.8), 1) AS INT)], ' ') AS text
+  FROM (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM documents) t)
+"""
+
+
+def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_near_dup_corpus_spark(spark, sf_dir))
+
+
+_SQL_LSH_PAIRS = f"""
+WITH {_D_NEAR_DUP_CORPUS},
+tok AS (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM corpus),
+sh AS (SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM tok),
+sig AS (SELECT doc_id, {_d_minhash_sig('shingles')} AS s FROM sh),
+buckets AS (
+  SELECT doc_id, unnest([
+    md5('0|' || s[1] || s[2]), md5('1|' || s[3] || s[4]),
+    md5('2|' || s[5] || s[6]), md5('3|' || s[7] || s[8])]) AS bucket
+  FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b USING (bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus_spark(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(corpus)
+    return dedup.jaccard_pairs(corpus, pairs, threshold=0.5)
+
+
+_SQL_JACCARD = f"""
+WITH {_D_NEAR_DUP_CORPUS},
+tok AS (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM corpus),
+sh AS (SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM tok),
+sig AS (SELECT doc_id, shingles, {_d_minhash_sig('shingles')} AS s FROM sh),
+buckets AS (
+  SELECT doc_id, unnest([
+    md5('0|' || s[1] || s[2]), md5('1|' || s[3] || s[4]),
+    md5('2|' || s[5] || s[6]), md5('3|' || s[7] || s[8])]) AS bucket
+  FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b USING (bucket)
+  WHERE a.doc_id < b.doc_id),
+j AS (
+  SELECT p.id_a, p.id_b,
+    cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS inter,
+    len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b)
+SELECT id_a, id_b, round(inter / (na + nb - inter), 4) AS jaccard
+FROM j WHERE round(inter / (na + nb - inter), 4) >= 0.5
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+_SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 3)
+      AS score
+  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# -- non-SQL-expressible (rows-only driver check) ----------------------------
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", txt.rolling_doc_fingerprint(F.col("text")).alias("doc_fp")
+    )
+
+
+def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.lsh_topk(e, e.where(F.col("vec_id") < 8), dim=64, k=5)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arion_spark.functions import multimodal
+
+    return multimodal.extract_features(multimodal.synthetic_media(spark, 64))
+
+
+# ---------------------------------------------------------------------------
+
+_REGISTRY: list[tuple[str, Callable, str | None]] = [
+    ("chain_flagship", q_chain_flagship, _SQL_CHAIN_FLAGSHIP),
+    ("normalize_grid", q_normalize_grid, _SQL_NORMALIZE_GRID),
+    ("fingerprint_conv", q_fingerprint_conv, _SQL_FINGERPRINT_CONV),
+    ("fingerprint_rolling", q_fingerprint_rolling, _SQL_FINGERPRINT_ROLLING),
+    ("sessionize", q_sessionize, _SQL_SESSIONIZE),
+    ("tumbling_hour", q_tumbling_hour, _SQL_TUMBLING_HOUR),
+    ("interval_join", q_interval_join, _SQL_INTERVAL_JOIN),
+    ("salted_conv_stats", q_salted_conv_stats, _SQL_SALTED_CONV_STATS),
+    ("dedup_exact", q_dedup_exact, _SQL_DEDUP_EXACT),
+    ("docs_quality", q_docs_quality, _SQL_DOCS_QUALITY),
+    ("minhash_signatures", q_minhash_signatures, _SQL_MINHASH),
+    ("lsh_dup_pairs", q_lsh_dup_pairs, _SQL_LSH_PAIRS),
+    ("jaccard_near_dups", q_jaccard_near_dups, _SQL_JACCARD),
+    ("ann_topk", q_ann_topk, _SQL_ANN_TOPK),
+    ("simhash_docs", q_simhash_docs, None),
+    ("doc_fingerprints", q_doc_fingerprints, None),
+    ("srp_ann", q_srp_ann, None),
+    ("media_features", q_media_features, None),
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, fn, _ in _REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, _, sql in _REGISTRY if sql is not None}

@@ -1,0 +1,44 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, determinism of
+the stubbed decode, and the video frame-sampling plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+from arion_spark.functions import multimodal
+
+
+def test_feature_extraction_schema_and_determinism(spark):
+    media = multimodal.synthetic_media(spark, 32)
+    out = multimodal.extract_features(media)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 32
+    r0 = rows[0]
+    assert len(r0.feat) == 8 and all(0 <= f <= 1 for f in r0.feat)
+    assert r0.n_bytes == 128  # 8 md5 digests
+    # payload_md5 matches an independent computation
+    blob = b"".join(hashlib.md5(f"0:{j}".encode()).digest() for j in range(8))
+    assert r0.payload_md5 == hashlib.md5(blob).hexdigest()
+    # re-run → identical (stub decode is deterministic)
+    rows2 = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert {k: tuple(v.feat) for k, v in rows.items()} == {
+        k: tuple(v.feat) for k, v in rows2.items()
+    }
+
+
+def test_require_real_codecs_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_stub(b"x", "image", require_real_codecs=True)
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, 9)
+    frames = multimodal.frame_sample(media, every_ms=500)
+    got = frames.groupBy("media_id").count().collect()
+    # only video rows (kind index 2 → media_id % 3 == 2)
+    assert all(r.media_id % 3 == 2 for r in got)
+    for r in got:
+        duration = 1000 + r.media_id
+        assert r["count"] == duration // 500 + 1
