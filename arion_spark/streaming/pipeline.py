@@ -1,0 +1,75 @@
+"""Streaming operation-chain pipeline: the full north-rule wiring.
+
+    replay/Iceberg stream
+      → withWatermark(ts)
+      → applyInPandasWithState per conv_id   (ordered fold: canonical
+        turn order + rolling fingerprint — the stateful operators)
+      → stateless chain stages               (read_meta / normalize:
+        identical JVM expressions as batch — operator code is SHARED)
+      → foreachBatch MergeSink               (exactly-once upsert on
+        (conv_id, turn_idx) + per-batch lineage)
+
+Restart-safety: the query checkpoints offsets + state; the sink skips
+already-committed batch ids — together giving end-to-end exactly-once
+(the M5 contract; restart tests in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from arion_spark.operators import normalize as op_norm
+from arion_spark.operators import read_meta as op_meta
+from arion_spark.plans.spec import PipelineSpec, parse_spec
+from arion_spark.streaming.sink import MergeSink
+from arion_spark.streaming.source import read_replay_stream
+from arion_spark.streaming.stateful import ordered_fold_stream
+
+
+def apply_stateless_chain(df: DataFrame, spec: PipelineSpec) -> DataFrame:
+    """Apply the stateless operators of the spec to the folded stream.
+
+    fingerprint is already materialized by the state operator
+    (turn_md5 / conv_fp); copy is realized by the sink itself."""
+    norm_seen = 0
+    for op in spec.operations:
+        if op.type == "read_meta":
+            df = op_meta.extract(df)
+        elif op.type == "normalize" and not op.run_failure:
+            norm_seen += 1
+            out_col = "normalized_text" if norm_seen == 1 else f"normalized_text_{norm_seen}"
+            df = op_norm.apply(df, op.params, out_col=out_col)
+        elif op.type == "filter":
+            df = df.filter(op.params["where"])
+    return df
+
+
+def run_stream_pipeline(
+    spark: SparkSession,
+    spec: dict | str | PipelineSpec,
+    replay_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    session_gap_ms: int = 30 * 60 * 1000,
+    max_files_per_trigger: int = 1,
+) -> tuple[StreamingQuery, MergeSink]:
+    """Start the streaming chain; returns (query, sink).
+
+    Callers drive with ``query.processAllAvailable()`` (tests/bench) or
+    let the trigger run (production).
+    """
+    if not isinstance(spec, PipelineSpec):
+        spec = parse_spec(spec)
+    stream = read_replay_stream(spark, replay_dir, max_files_per_trigger)
+    folded = ordered_fold_stream(stream, watermark=watermark, session_gap_ms=session_gap_ms)
+    staged = apply_stateless_chain(folded, spec)
+    sink = MergeSink(out_dir)
+    query = (
+        staged.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return query, sink

@@ -1,0 +1,110 @@
+"""Exactly-once MERGE sink: ``foreachBatch`` + parquet + commit log.
+
+Iceberg jars are not available in this sandbox, so MERGE-on-key
+exactly-once is implemented with the same contract Iceberg's
+``MERGE INTO (conv_id, turn_idx)`` would give (SURVEY.md §7 M5 fallback):
+
+  * each micro-batch writes to its own directory ``data/batch=<id>/``
+    (overwrite → the write itself is idempotent under task retry),
+  * a commit marker ``_commits/<id>.json`` is written AFTER the data
+    (atomic rename), carrying per-batch lineage (row count, key range,
+    min/max event time),
+  * a batch id that is already committed is SKIPPED — replays after
+    checkpoint restart are no-ops,
+  * readers see only committed batches and dedup by key keeping the
+    LATEST batch (MERGE upsert semantics).
+
+On a real cluster, swap ``MergeSink.process`` for
+``spark.sql("MERGE INTO ... USING batch_df ON t.conv_id = s.conv_id AND
+t.turn_idx = s.turn_idx WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED
+THEN INSERT ...")`` — the checkpoint/commit-log discipline is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+KEYS = ("conv_id", "turn_idx")
+
+
+class MergeSink:
+    def __init__(self, table_dir: str, keys: tuple[str, ...] = KEYS):
+        self.table_dir = table_dir
+        self.keys = keys
+        os.makedirs(f"{table_dir}/_commits", exist_ok=True)
+
+    # -- write path -----------------------------------------------------------
+
+    def _commit_path(self, batch_id: int) -> str:
+        return f"{self.table_dir}/_commits/{batch_id:012d}.json"
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_path(batch_id))
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body.  Idempotent: committed batch ids are no-ops."""
+        if self.is_committed(batch_id):
+            return
+        data_dir = f"{self.table_dir}/data/batch={batch_id:012d}"
+        batch_df.write.mode("overwrite").parquet(data_dir)
+
+        stats = batch_df.agg(
+            F.count("*").alias("rows"),
+            F.min("ts").cast("string").alias("min_ts"),
+            F.max("ts").cast("string").alias("max_ts"),
+            F.countDistinct(self.keys[0]).alias("n_keys"),
+        ).head()
+        marker = {
+            "batch_id": batch_id,
+            "rows": stats["rows"],
+            "min_ts": stats["min_ts"],
+            "max_ts": stats["max_ts"],
+            "n_partitions": batch_df.rdd.getNumPartitions(),
+            "n_keys": stats["n_keys"],
+            "data_dir": data_dir,
+        }
+        tmp = self._commit_path(batch_id) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, self._commit_path(batch_id))  # atomic commit point
+
+    def foreach_batch(self):
+        return lambda df, bid: self.process(df, bid)
+
+    # -- read path (MERGE view) ----------------------------------------------
+
+    def committed_batches(self) -> list[dict]:
+        out = []
+        cdir = f"{self.table_dir}/_commits"
+        for name in sorted(os.listdir(cdir)):
+            if name.endswith(".json"):
+                with open(f"{cdir}/{name}") as f:
+                    out.append(json.load(f))
+        return out
+
+    def read_merged(self, spark: SparkSession) -> DataFrame:
+        """Committed-only, key-deduped view (upsert: latest batch wins)."""
+        commits = self.committed_batches()
+        if not commits:
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        dfs = None
+        for c in commits:
+            d = spark.read.parquet(c["data_dir"]).withColumn(
+                "_batch_id", F.lit(c["batch_id"])
+            )
+            dfs = d if dfs is None else dfs.unionByName(d)
+        w = Window.partitionBy(*self.keys).orderBy(F.desc("_batch_id"))
+        return (
+            dfs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_batch_id")
+        )
+
+    def lineage(self) -> list[dict]:
+        """Per-batch lineage records (counts, event-time range, partitions)."""
+        return self.committed_batches()

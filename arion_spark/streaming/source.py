@@ -1,0 +1,58 @@
+"""Deterministic replay stream source.
+
+The reference is driven by one process invocation per record; the driver
+of our streaming engine is a micro-batch replay of a transcript table:
+the input is split into K timestamp-ordered parquet chunks and consumed
+with ``maxFilesPerTrigger=1`` so every run observes the same micro-batch
+boundaries — the determinism the exactly-once tests need.
+
+At production scale the same code points at an Iceberg/Kafka source; the
+schema contract is identical (see SKILL note in README §streaming).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arion_spark.transcripts import TRANSCRIPT_SCHEMA
+
+
+def write_replay_chunks(
+    df: DataFrame, out_dir: str, n_chunks: int = 8
+) -> list[str]:
+    """Split ``df`` into ``n_chunks`` ts-ordered parquet files.
+
+    Chunking is by ts-rank so arrival order ≈ event-time order with the
+    controlled out-of-orderness already present in the data (the
+    within-watermark jitter the generator plants).
+    """
+    ranked = df.withColumn(
+        "_chunk",
+        F.ntile(n_chunks).over(Window.orderBy("ts", "conv_id", "turn_idx")),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(1, n_chunks + 1):
+        # one file per chunk → one micro-batch per trigger with
+        # maxFilesPerTrigger=1 (coalesce(1) is replay-fixture-only; the
+        # production source is Iceberg/Kafka partitions)
+        chunk_dir = f"{out_dir}/chunk={i:04d}"
+        ranked.where(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(chunk_dir)
+        paths.append(chunk_dir)
+    return paths
+
+
+def read_replay_stream(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )

@@ -1,0 +1,189 @@
+"""Per-conversation ordered-fold state — the streaming heart of the engine.
+
+The reference holds one in-memory working context per invocation
+(reference: src/arion.hpp:96-123) and relies on EXIF-orientation
+canonicalization for deterministic output (src/arion.cpp:325-405).  The
+streaming transposition: per-``conv_id`` state in
+``applyInPandasWithState`` that **buffers out-of-order turns and folds
+them strictly in turn_idx order**, so arrival order never affects the
+rolling fingerprint — the same invariant the batch twin
+(operators.fingerprint.rolling) gets from its sort.
+
+Semantics:
+  * input: watermarked transcript stream; rows older than the watermark
+    are dropped by Spark before they reach the state function.
+  * a turn is *folded* (emitted) once every turn 0..i-1 of its
+    conversation has been folded — turn_idx is dense per conversation
+    (input contract, BASELINE.json input_hint).
+  * out-of-order turns wait in the buffer until the gap fills.
+  * on event-time timeout (conversation idle past ``session_gap`` in
+    event time), remaining buffered turns are flushed in order —
+    accepting gaps left by watermark-dropped late rows — and the state
+    is removed (session close).  Emitted rows carry ``flushed=true``.
+
+Output rows match the batch twin bit-for-bit for on-time data:
+(conv_id, turn_idx, role, text, tool, ts, turn_md5, conv_fp).
+
+Scale: state per key is O(buffered turns) — bounded by the
+out-of-orderness horizon, not conversation length (folded turns leave
+the buffer immediately; only the 32-hex fold accumulator persists).
+Hot conversations therefore do NOT accumulate state; key-skew on the
+shuffle into the stateful operator is bounded by per-conv arrival rate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, turn_md5 string, conv_fp string, flushed boolean"
+)
+
+#: buffered out-of-order turns (parallel arrays) + fold accumulator
+STATE_SCHEMA = (
+    "next_idx int, fp string, buf_idx array<int>, buf_role array<string>, "
+    "buf_text array<string>, buf_tool array<string>, buf_ts array<long>, "
+    "max_ts long"
+)
+
+DEFAULT_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _fold_step(fp: str, text: str) -> tuple[str, str]:
+    m = hashlib.md5(text.encode("utf-8")).hexdigest()
+    return hashlib.md5((fp + m).encode("ascii")).hexdigest(), m
+
+
+def _emit_ready(
+    next_idx: int,
+    fp: str,
+    buf: dict[int, tuple],
+    flush: bool,
+) -> tuple[int, str, list[tuple]]:
+    """Fold every contiguously-ready turn (or everything, if flushing)."""
+    out = []
+    for idx in sorted(buf):
+        if not flush and idx != next_idx:
+            if idx < next_idx:
+                # stale duplicate of an already-folded turn — drop
+                # (idempotence under source replay)
+                continue
+            break
+        role, text, tool, ts = buf[idx]
+        fp, m = _fold_step(fp, text)
+        out.append((idx, role, text, tool, ts, m, fp))
+        next_idx = idx + 1
+    for idx, *_ in out:
+        buf.pop(idx, None)
+    # also drop stale duplicates below the fold point
+    for idx in [i for i in buf if i < next_idx]:
+        buf.pop(idx)
+    return next_idx, fp, out
+
+
+def _conv_processor(session_gap_ms: int):
+    def fn(
+        key: tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            next_idx, fp, bi, br, bt, btool, bts, max_ts = state.get
+            buf = {
+                int(i): (r, t, tl, s)
+                for i, r, t, tl, s in zip(bi, br, bt, btool, bts)
+            }
+        else:
+            next_idx, fp, buf, max_ts = 0, "", {}, 0
+
+        emitted: list[tuple] = []
+        flush = bool(state.hasTimedOut)
+        if not flush:
+            # Spark late-filters inputs for aggregations/joins but NOT for
+            # arbitrary stateful ops — enforce the watermark drop semantics
+            # here so late turns can never rewrite an already-folded prefix.
+            wm_ms = state.getCurrentWatermarkMs()
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    ts_ms = int(row.ts.value // 1_000_000)
+                    if wm_ms > 0 and ts_ms < wm_ms:
+                        continue  # late beyond watermark: dropped
+                    max_ts = max(max_ts, ts_ms)
+                    if row.turn_idx >= next_idx and row.turn_idx not in buf:
+                        buf[int(row.turn_idx)] = (
+                            row.role,
+                            row.text,
+                            row.tool,
+                            ts_ms,
+                        )
+            next_idx, fp, ready = _emit_ready(next_idx, fp, buf, flush=False)
+            emitted.extend(ready)
+        else:
+            next_idx, fp, ready = _emit_ready(next_idx, fp, buf, flush=True)
+            emitted.extend(ready)
+
+        if flush and not buf:
+            state.remove()
+        else:
+            items = sorted(buf.items())
+            state.update(
+                (
+                    int(next_idx),
+                    fp,
+                    [i for i, _ in items],
+                    [v[0] for _, v in items],
+                    [v[1] for _, v in items],
+                    [v[2] for _, v in items],
+                    [v[3] for _, v in items],
+                    int(max_ts),
+                )
+            )
+            # session closes session_gap past the latest event seen
+            state.setTimeoutTimestamp(max_ts + session_gap_ms)
+
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": [e[0] for e in emitted],
+                    "role": [e[1] for e in emitted],
+                    "text": [e[2] for e in emitted],
+                    "tool": [e[3] for e in emitted],
+                    "ts": [pd.Timestamp(e[4], unit="ms") for e in emitted],
+                    "turn_md5": [e[5] for e in emitted],
+                    "conv_fp": [e[6] for e in emitted],
+                    "flushed": flush,
+                }
+            )
+
+    return fn
+
+
+def ordered_fold_stream(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    session_gap_ms: int = DEFAULT_SESSION_GAP_MS,
+) -> DataFrame:
+    """Watermarked stream → per-turn folded output (append mode).
+
+    The shuffle into the state operator is hash(conv_id); the state store
+    (RocksDB on a cluster) holds one entry per open conversation.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _conv_processor(session_gap_ms),
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,265 @@
+"""Streaming-core tests: batch↔stream parity, out-of-order folding,
+watermark drop semantics, checkpoint restart, exactly-once sink
+idempotence, stream-stream join and window operators
+(SURVEY.md §5.2 item 5)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+
+from arion_spark.operators import fingerprint as op_fp
+from arion_spark.streaming.pipeline import run_stream_pipeline
+from arion_spark.streaming.sink import MergeSink
+from arion_spark.streaming.source import read_replay_stream, write_replay_chunks
+from arion_spark.transcripts import TRANSCRIPT_SCHEMA
+
+SPEC = {
+    "operations": [
+        {"type": "normalize", "params": {"width": 16, "type": "fill", "gravity": "w"}},
+        {"type": "fingerprint", "params": {"type": "md5"}},
+    ]
+}
+
+T0 = datetime(2024, 1, 1)
+
+
+def _row(conv, idx, ts_min, role="user", text=None):
+    return (
+        conv,
+        idx,
+        role,
+        text or f"text {conv} {idx}",
+        None,
+        T0 + timedelta(minutes=ts_min),
+    )
+
+
+def _write_chunk(spark, rows, path):
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _run(spark, replay, base, watermark="30 minutes", gap_ms=30 * 60 * 1000, tag="a"):
+    q, sink = run_stream_pipeline(
+        spark,
+        SPEC,
+        replay,
+        f"{base}/out_{tag}",
+        f"{base}/ckpt_{tag}",
+        watermark=watermark,
+        session_gap_ms=gap_ms,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sink
+
+
+def test_stream_matches_batch_twin(spark, transcripts_df, fixture_rows, tmp_path):
+    replay = str(tmp_path / "replay")
+    write_replay_chunks(transcripts_df, replay, n_chunks=4)
+    sink = _run(spark, replay, str(tmp_path))
+    merged = sink.read_merged(spark)
+    batch = op_fp.rolling(op_fp.per_turn(transcripts_df))
+    b = {(r.conv_id, r.turn_idx): (r.text, r.turn_md5, r.conv_fp) for r in batch.collect()}
+    s = {(r.conv_id, r.turn_idx): (r.text, r.turn_md5, r.conv_fp) for r in merged.collect()}
+    assert s == b  # per-turn text equality under stable turn ordering
+
+
+def test_out_of_order_within_watermark_folds_correctly(spark, tmp_path):
+    """turn 2 arrives after turn 3 (both within watermark) → fold waits,
+    then emits in turn_idx order with the same fingerprints as in-order."""
+    replay = str(tmp_path / "replay")
+    _write_chunk(spark, [_row("c1", 0, 0), _row("c1", 1, 1)], f"{replay}/ch1")
+    _write_chunk(spark, [_row("c1", 3, 3)], f"{replay}/ch2")  # gap: 2 missing
+    _write_chunk(spark, [_row("c1", 2, 2)], f"{replay}/ch3")  # gap fills
+    sink = _run(spark, replay, str(tmp_path))
+    got = {
+        r.turn_idx: r.conv_fp
+        for r in sink.read_merged(spark).where("conv_id = 'c1'").collect()
+    }
+    assert sorted(got) == [0, 1, 2, 3]
+    # fingerprints equal the ordered batch fold
+    from arion_spark import oracle
+
+    texts = [f"text c1 {i}" for i in range(4)]
+    acc = ""
+    import hashlib
+
+    for i, t in enumerate(texts):
+        acc = hashlib.md5((acc + oracle.turn_md5(t)).encode()).hexdigest()
+        assert got[i] == acc, i
+
+
+def test_late_beyond_watermark_dropped_then_timeout_flush(spark, tmp_path):
+    """A turn older than the watermark is dropped; the blocked successor is
+    flushed by event-time timeout (session close) with flushed=true."""
+    replay = str(tmp_path / "replay")
+    _write_chunk(spark, [_row("c1", 0, 0), _row("c1", 1, 1)], f"{replay}/ch1")
+    # advance watermark far past t0 (other conversation)
+    _write_chunk(spark, [_row("adv", 0, 300)], f"{replay}/ch2")
+    # turn 2 is now way behind the watermark (ts=2min, wm≈270min) → dropped;
+    # turn 3 is fresh → buffered behind the permanent gap
+    _write_chunk(spark, [_row("c1", 2, 2), _row("c1", 3, 301)], f"{replay}/ch3")
+    # sentinel pushes watermark past c1's timeout (max_ts 301 + 30min gap)
+    _write_chunk(spark, [_row("sentinel", 0, 1000)], f"{replay}/ch4")
+    sink = _run(spark, replay, str(tmp_path), watermark="30 minutes")
+    got = {
+        r.turn_idx: r
+        for r in sink.read_merged(spark).where("conv_id = 'c1'").collect()
+    }
+    assert sorted(got) == [0, 1, 3]  # 2 dropped by watermark
+    assert got[3].flushed is True  # emitted by session-close flush
+    assert got[0].flushed is False
+
+
+def test_checkpoint_restart_equals_uninterrupted(spark, transcripts_df, tmp_path):
+    """Kill after the first chunks, restart from checkpoint with more data →
+    final table identical to an uninterrupted run (exactly-once parity)."""
+    replay_a = str(tmp_path / "replay_a")  # interrupted run reads this
+    chunks = write_replay_chunks(transcripts_df, replay_a, n_chunks=4)
+    # stage only the first 2 chunks, run, stop
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for c in chunks[:2]:
+        os.rename(c, f"{staged}/{os.path.basename(c)}")
+    sink1 = _run(spark, staged, str(tmp_path), tag="r")
+    n1 = sink1.read_merged(spark).count()
+    # deliver the rest and RESTART with the same checkpoint + sink
+    for c in chunks[2:]:
+        os.rename(c, f"{staged}/{os.path.basename(c)}")
+    sink2 = _run(spark, staged, str(tmp_path), tag="r")  # same ckpt_r/out_r
+    merged = sink2.read_merged(spark)
+    assert n1 < merged.count()
+    # uninterrupted reference run
+    replay_b = str(tmp_path / "replay_b")
+    write_replay_chunks(transcripts_df, replay_b, n_chunks=4)
+    sink_ref = _run(spark, replay_b, str(tmp_path), tag="ref")
+    ref = {
+        (r.conv_id, r.turn_idx): (r.text, r.conv_fp)
+        for r in sink_ref.read_merged(spark).collect()
+    }
+    got = {(r.conv_id, r.turn_idx): (r.text, r.conv_fp) for r in merged.collect()}
+    assert got == ref
+
+
+def test_sink_batch_replay_is_noop(spark, tmp_path):
+    """Re-processing an already-committed batch id must not change the
+    table (foreachBatch replay after restart)."""
+    sink = MergeSink(str(tmp_path / "tbl"))
+    df = spark.createDataFrame([_row("c1", 0, 0)], TRANSCRIPT_SCHEMA)
+    sink.process(df, 0)
+    before = sink.read_merged(spark).count()
+    sink.process(df.union(df), 0)  # replay with different content → ignored
+    assert sink.read_merged(spark).count() == before == 1
+    assert len(sink.lineage()) == 1
+
+
+def test_sink_upsert_latest_batch_wins(spark, tmp_path):
+    sink = MergeSink(str(tmp_path / "tbl2"))
+    sink.process(
+        spark.createDataFrame([_row("c1", 0, 0, text="old")], TRANSCRIPT_SCHEMA), 0
+    )
+    sink.process(
+        spark.createDataFrame([_row("c1", 0, 0, text="new")], TRANSCRIPT_SCHEMA), 1
+    )
+    rows = sink.read_merged(spark).collect()
+    assert len(rows) == 1 and rows[0].text == "new"
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from arion_spark.streaming.join import user_response_join
+
+    rows = [
+        _row("c1", 0, 0, "user"),
+        _row("c1", 1, 5, "assistant"),
+        _row("c1", 2, 10, "tool"),
+        _row("c1", 3, 120, "assistant"),  # outside 1h horizon of turn 0
+        _row("c2", 0, 0, "user"),
+    ]
+    replay = str(tmp_path / "replay_j")
+    _write_chunk(spark, rows, f"{replay}/ch1")
+    _write_chunk(spark, [_row("sentinel", 0, 600, "system")], f"{replay}/ch2")
+    stream = read_replay_stream(spark, replay)
+    q = (
+        user_response_join(stream, horizon="1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("jout")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.conv_id, r.u_turn_idx, r.r_turn_idx): r.latency_s
+        for r in spark.sql("select * from jout").collect()
+    }
+    assert got == {("c1", 0, 1): 300, ("c1", 0, 2): 600}
+
+
+def test_streaming_windows_match_batch_counts(spark, transcripts_df, tmp_path):
+    from arion_spark.streaming.windows import (
+        salted_windowed_conv_counts,
+        session_turn_counts,
+        tumbling_role_counts,
+    )
+    from pyspark.sql import functions as F
+
+    replay = str(tmp_path / "replay_w")
+    write_replay_chunks(transcripts_df, replay, n_chunks=2)
+    # far-future sentinel advances the watermark so every data window closes
+    # (append mode emits a window only once the watermark passes its end)
+    _write_chunk(spark, [_row("zz-sentinel", 0, 6000, "system")], f"{replay}/chunk=9999")
+
+    def run_to_memory(make, name):
+        stream = read_replay_stream(spark, replay)
+        q = (
+            make(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(f"select * from {name}")
+
+    # tumbling counts: compare against batch groupBy (append mode only emits
+    # windows older than the watermark → compare on emitted subset)
+    tout = run_to_memory(lambda s: tumbling_role_counts(s, "1 hour", "5 minutes"), "t_out")
+    batch = transcripts_df.groupBy(
+        F.window("ts", "1 hour").start.alias("window_start"), "role"
+    ).agg(F.count("*").cast("int").alias("n_turns"))
+    b = {(r.window_start, r.role): r.n_turns for r in batch.collect()}
+    emitted = tout.collect()
+    assert emitted, "no windows emitted"
+    for r in emitted:
+        assert b[(r.window_start, r.role)] == r.n_turns
+
+    # salted two-stage == plain per-conv counts on the emitted subset
+    sout = run_to_memory(
+        lambda s: salted_windowed_conv_counts(s, "1 hour", "5 minutes"), "s_out"
+    )
+    bc = {
+        (r.window_start, r.conv_id): r.n_turns
+        for r in transcripts_df.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "conv_id"
+        )
+        .agg(F.count("*").cast("int").alias("n_turns"))
+        .collect()
+    }
+    srows = sout.collect()
+    assert srows
+    for r in srows:
+        assert bc[(r.window_start, r.conv_id)] == r.n_turns
+
+    # session windows: emitted sessions have sane bounds and counts
+    sess = run_to_memory(
+        lambda s: session_turn_counts(s, "30 minutes", "5 minutes"), "sess_out"
+    )
+    srows = sess.collect()
+    assert srows
+    assert all(r.n_turns >= 1 and r.session_end > r.session_start for r in srows)
