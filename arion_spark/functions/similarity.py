@@ -140,3 +140,92 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize every vector to its
+    nearest "centroid", then search only the query's cell.
+
+    Training a real k-means is out of scope for a deterministic oracle;
+    the coarse quantizer uses the first ``n_cells`` corpus vectors (by
+    id) as centroids — the IVF *structure* (cell assignment as a narrow
+    broadcast map, candidate search shuffled only on cell id) is exactly
+    the production shape; swap the centroid source for trained ones at
+    scale.  At 100 TB: corpus cell assignment is map-only against a
+    broadcast centroid table; the search join shuffles on (cell) and the
+    per-query top-k is one window over k·|cell| candidates.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).select(
+            df[idc],
+            df[vecc],
+            F.col("cell_id"),
+            cosine(df[vecc], F.col("cent")).alias("_sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("_sim"), F.asc("cell_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_sim")
+        )
+
+    cb = assign(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
+    )
+    qb = assign(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell_id"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 3).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    cosine ≥ threshold.
+
+    Exact all-pairs is O(N²) — correct at oracle scale; the 100 TB path
+    is the same predicate over SRP-bucketed candidates
+    (:func:`srp_bucket`): near-duplicates (cos → 1) collide in every
+    band, so bucketing preserves recall at high thresholds.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -234,6 +234,39 @@ FROM transcripts GROUP BY 1, 2
 """
 
 
+def q_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute window, 5-minute slide — batch twin of the
+    streaming sliding_turn_rate operator (epoch-aligned like Spark's
+    streaming F.window)."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return t.groupBy(w.alias("w")).agg(
+        F.count("*").cast("int").alias("n_turns"),
+        F.countDistinct("conv_id").cast("int").alias("n_convs"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_turns",
+        "n_convs",
+    )
+
+
+_SQL_SLIDING_10M = f"""{_T},
+exploded AS (
+  SELECT conv_id, cast(ws AS TIMESTAMP) AS window_start
+  FROM transcripts,
+    unnest(generate_series(
+      to_timestamp((floor(epoch(ts) / 300) - 1) * 300),
+      to_timestamp(floor(epoch(ts) / 300) * 300),
+      INTERVAL 5 MINUTE)) AS t(ws)
+  WHERE epoch(ws) > epoch(ts) - 600)
+SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+  cast(count(*) AS INT) AS n_turns,
+  cast(count(DISTINCT conv_id) AS INT) AS n_convs
+FROM exploded GROUP BY window_start
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User→assistant correlation within a 1-hour horizon — the batch twin
     of the watermark-bounded stream-stream interval join."""
@@ -472,11 +505,23 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
-# -- non-SQL-expressible (rows-only driver check) ----------------------------
-
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+
+
+_D_H16 = "list_transform({t}, s -> ('0x' || substr(md5(s), 1, 4))::INT)"
+_D_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(h16, v -> ((v >> {b}) & 1) = 1)) > len(h16) "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+_SQL_SIMHASH = f"""
+WITH tok AS (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM documents),
+h AS (SELECT doc_id, {_D_H16.format(t='toks')} AS h16 FROM tok)
+SELECT doc_id, cast({_D_SIMHASH_BITS} AS INT) AS simhash FROM h
+"""
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +530,122 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", txt.rolling_doc_fingerprint(F.col("text")).alias("doc_fp")
     )
 
+
+_SQL_DOC_FINGERPRINTS = f"""
+WITH tok AS (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id, len(toks) AS n,
+    list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
+                   i -> md5(array_to_string(toks[i:i+3], ' '))) AS grams
+  FROM tok)
+SELECT doc_id,
+  md5(list_min(grams) || cast(cast(floor(n / 16) AS BIGINT) AS VARCHAR)) AS doc_fp
+FROM g
+"""
+
+
+def q_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (sort/limit surface): 10 longest documents by BPE-ish
+    token count.  At scale this is a per-partition top-k + single k-row
+    merge (Spark's TakeOrderedAndProject), never a full sort."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id", txt.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
+        )
+        .orderBy(F.desc("bpe_tokens"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_TOPK_DOCS = """
+SELECT doc_id,
+  cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT)
+    AS bpe_tokens
+FROM documents
+ORDER BY bpe_tokens DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _dup_embeddings_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic tail-zeroed copies (ids +1_000_000):
+    cos(original, copy) = ||head56|| / ||full|| ≈ 0.93 on this data —
+    guarantees real near-duplicate pairs above a 0.9 threshold."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    zeros = F.array(*[F.lit(0.0)] * 8)
+    mut = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(F.slice("embedding", 1, 56), zeros).alias("embedding"),
+    )
+    return e.unionByName(mut)
+
+
+_D_DUP_EMBEDDINGS = """
+ecorpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+    list_slice(embedding::DOUBLE[], 1, 56)
+      || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS v
+  FROM embeddings)
+"""
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup_pairs(
+        _dup_embeddings_spark(spark, sf_dir), threshold=0.9
+    )
+
+
+_SQL_COSINE_NEAR_DUP = f"""
+WITH {_D_DUP_EMBEDDINGS}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+    AS cos_sim
+FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9
+"""
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.ivf_topk(e, e.where(F.col("vec_id") < 8), n_cells=4, k=5)
+
+
+_D_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_SQL_IVF_ANN = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cell_id, v AS cent FROM e ORDER BY vec_id LIMIT 4),
+asg AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {_D_COS.format(a='e.v', b='c.cent')} DESC, c.cell_id) AS rn
+  FROM e CROSS JOIN c),
+cells AS (SELECT vec_id, v, cell_id FROM asg WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    round({_D_COS.format(a='q.v', b='n.v')}, 3) AS score
+  FROM cells q JOIN cells n
+    ON q.cell_id = n.cell_id AND q.vec_id < 8 AND q.vec_id <> n.vec_id),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# -- non-SQL-expressible (rows-only driver check) ----------------------------
 
 def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir).select(
@@ -508,6 +669,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("fingerprint_rolling", q_fingerprint_rolling, _SQL_FINGERPRINT_ROLLING),
     ("sessionize", q_sessionize, _SQL_SESSIONIZE),
     ("tumbling_hour", q_tumbling_hour, _SQL_TUMBLING_HOUR),
+    ("sliding_10m", q_sliding_10m, _SQL_SLIDING_10M),
     ("interval_join", q_interval_join, _SQL_INTERVAL_JOIN),
     ("salted_conv_stats", q_salted_conv_stats, _SQL_SALTED_CONV_STATS),
     ("dedup_exact", q_dedup_exact, _SQL_DEDUP_EXACT),
@@ -516,8 +678,11 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("lsh_dup_pairs", q_lsh_dup_pairs, _SQL_LSH_PAIRS),
     ("jaccard_near_dups", q_jaccard_near_dups, _SQL_JACCARD),
     ("ann_topk", q_ann_topk, _SQL_ANN_TOPK),
-    ("simhash_docs", q_simhash_docs, None),
-    ("doc_fingerprints", q_doc_fingerprints, None),
+    ("ivf_ann", q_ivf_ann, _SQL_IVF_ANN),
+    ("cosine_near_dup", q_cosine_near_dup, _SQL_COSINE_NEAR_DUP),
+    ("simhash_docs", q_simhash_docs, _SQL_SIMHASH),
+    ("doc_fingerprints", q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
+    ("topk_docs", q_topk_docs, _SQL_TOPK_DOCS),
     ("srp_ann", q_srp_ann, None),
     ("media_features", q_media_features, None),
 ]

@@ -118,7 +118,7 @@ def generate_transcripts(
         *[
             F.element_at(
                 F.array(*[F.lit(w) for w in _WORDS]),
-                ((h + i) % len(_WORDS) + len(_WORDS)) % len(_WORDS) + 1,
+                (((h + i) % len(_WORDS) + len(_WORDS)) % len(_WORDS) + 1).cast("int"),
             )
             for i in range(8)
         ],

@@ -1,0 +1,160 @@
+"""Headline benchmark — batch operator queries + streaming replay.
+
+Run by the driver per round; prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet fixture dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism  (default 32)
+  SPARK_GRAFT_BENCH_TURNS  synthetic replay size (default 200_000)
+
+Per-query timing executes the full plan into a ``noop`` sink (all the
+work, none of the collect cost).  The streaming section replays a
+deterministic synthetic transcript stream (arion operation-chain fixture
+analog) through the full north-rule pipeline — watermark → ordered-fold
+state → stateless chain → exactly-once MERGE sink — and reports
+turns/sec + p95 micro-batch latency from StreamingQueryListener.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+``tools/bench_scaling.py``; results recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
+
+#: oracle-backed operator queries that form the headline batch suite
+HEADLINE = [
+    "chain_flagship",
+    "normalize_grid",
+    "fingerprint_conv",
+    "fingerprint_rolling",
+    "sessionize",
+    "tumbling_hour",
+    "interval_join",
+    "salted_conv_stats",
+    "dedup_exact",
+    "docs_quality",
+    "minhash_signatures",
+    "lsh_dup_pairs",
+    "jaccard_near_dups",
+    "ann_topk",
+]
+
+
+def _run_to_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_batch(spark) -> dict[str, float]:
+    from arion_spark import queries as q
+
+    registry = q.queries()
+    # warmup: pay JVM/codegen/Arrow startup outside the timed region
+    _run_to_noop(registry["chain_flagship"](spark, SF_DIR).limit(100))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _run_to_noop(registry[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_streaming(spark, n_turns: int) -> dict:
+    from arion_spark.streaming.metrics import ProgressCapture
+    from arion_spark.streaming.pipeline import run_stream_pipeline
+    from arion_spark.streaming.source import write_replay_chunks
+    from arion_spark.transcripts import generate_transcripts
+
+    work = tempfile.mkdtemp(prefix="arion_bench_")
+    try:
+        df = generate_transcripts(spark, n_turns)
+        write_replay_chunks(df, f"{work}/replay", n_chunks=8)
+
+        cap = ProgressCapture()
+        spark.streams.addListener(cap)
+        spec = {
+            "operations": [
+                {"type": "read_meta", "params": {"info": True}},
+                {
+                    "type": "normalize",
+                    "params": {"width": 64, "type": "fill", "gravity": "center"},
+                },
+                {"type": "fingerprint", "params": {"type": "md5"}},
+            ]
+        }
+        t0 = time.perf_counter()
+        query, sink = run_stream_pipeline(
+            spark,
+            spec,
+            f"{work}/replay",
+            f"{work}/out",
+            f"{work}/ckpt",
+            watermark="10 minutes",
+        )
+        query.processAllAvailable()
+        query.stop()
+        wall = time.perf_counter() - t0
+        spark.streams.removeListener(cap)
+
+        s = cap.summary()
+        out_rows = sum(c["rows"] for c in sink.lineage())
+        return {
+            "streaming_replay_sec": round(wall, 3),
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / wall, 1),
+            "output_rows": out_rows,
+            "p95_batch_ms": s["p95_batch_ms"],
+            "n_batches": s["n_batches"],
+            "max_state_rows": s["max_state_rows"],
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    from arion_spark import get_spark
+
+    spark = get_spark("arion_bench", cpus=CPUS)
+    batch = bench_batch(spark)
+    stream = bench_streaming(spark, BENCH_TURNS)
+
+    queries = dict(batch)
+    queries["streaming_replay"] = stream["streaming_replay_sec"]
+    total = round(sum(queries.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "headline batch operator suite + full streaming "
+                    "operation-chain replay (watermark→stateful fold→"
+                    "chain→exactly-once MERGE) wall time"
+                ),
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+                "streaming": stream,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

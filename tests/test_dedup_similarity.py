@@ -151,3 +151,53 @@ def test_quality_and_lang(spark, docs_df):
     assert r[0].lang == "en"  # 'the' markers
     assert r[4].lang == "unk" and r[4].bpe == 0
     assert r[0].bpe == len(DOCS[0][1].split())  # plain words → one piece each
+
+
+def test_ivf_ann_matches_brute_force_within_cell(spark, vec_df):
+    """IVF returns the exact within-cell top-k: every (query, neighbor)
+    must share the query's best centroid, ranked by cosine."""
+    M = np.array([v for _, v in VECS])
+    norm = np.linalg.norm(M, axis=1)
+    sims = (M @ M.T) / (norm[:, None] * norm[None, :])
+    cells = {}
+    for i in range(30):
+        cs = [(round(-sims[i, c], 12), c) for c in range(4)]
+        cells[i] = min(cs)[1]
+    got = (
+        similarity.ivf_topk(vec_df, vec_df.where("vec_id < 3"), n_cells=4, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert got, "ivf returned nothing"
+    for q in range(3):
+        cands = [n for n in range(30) if n != q and cells[n] == cells[q]]
+        scores = [(round(sims[q, n], 3), n) for n in cands]
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        want = [n for _, n in scores[:4]]
+        have = [r.neighbor_id for r in got if r.query_id == q]
+        assert have == want, q
+
+
+def test_cosine_near_dup_pairs(spark, vec_df):
+    """Planted duplicate (vector 100 = vector 0) is found; threshold
+    excludes unrelated pairs exactly as numpy says."""
+    dup = spark.createDataFrame(
+        [(100, VECS[0][1])], "vec_id long, embedding array<double>"
+    )
+    corpus = vec_df.unionByName(dup)
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.cosine_near_dup_pairs(corpus, threshold=0.95).collect()
+    }
+    assert got[(0, 100)] == 1.0
+    M = np.array([v for _, v in VECS] + [VECS[0][1]])
+    ids = [i for i, _ in VECS] + [100]
+    norm = np.linalg.norm(M, axis=1)
+    sims = (M @ M.T) / (norm[:, None] * norm[None, :])
+    want = {
+        (ids[a], ids[b])
+        for a in range(31)
+        for b in range(31)
+        if ids[a] < ids[b] and round(sims[a, b], 4) >= 0.95
+    }
+    assert set(got) == want
