@@ -79,15 +79,23 @@ def lang_id_col(text: Column) -> Column:
 def rolling_doc_fingerprint(text: Column, window: int = 4) -> Column:
     """Document fingerprint: md5 over the document's word-``window``-gram
     min-sketch (a rolling-hash analog that is order-sensitive yet
-    truncation-robust): md5(min over i of md5(gram_i) || length-bucket)."""
+    truncation-robust): md5(min over i of md5(gram_i) || length-bucket).
+
+    4-grams are built from four shifted array views zipped pairwise —
+    O(n) per row (``zip_with`` pads the shorter side with nulls, which
+    ``concat_ws`` skips, reproducing the short-document edge cases of
+    the naive ``slice(toks, i, 4)`` form without its O(n²) per-element
+    re-tokenization)."""
+    assert window == 4, "linear gram construction is specialized to window=4"
     toks = tokens_col(text)
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(toks, i, window)).cast("binary")
-        ),
-    )
+    m = F.greatest(n - window + 1, F.lit(1))
+    p = [F.slice(toks, i + 1, m) for i in range(window)]
+    z12 = F.zip_with(p[0], p[1], lambda x, y: F.concat_ws(" ", x, y))
+    z34 = F.zip_with(p[2], p[3], lambda x, y: F.concat_ws(" ", x, y))
+    joined = F.zip_with(z12, z34, lambda x, y: F.concat_ws(" ", x, y))
+    grams_txt = F.when(n == 0, F.array(F.lit(""))).otherwise(joined)
+    grams = F.transform(grams_txt, lambda g: F.md5(g.cast("binary")))
     return F.md5(
         F.concat(F.array_min(grams), (F.floor(n / 16)).cast("string")).cast("binary")
     )

@@ -70,11 +70,26 @@ _D_SHINGLES = (
 )
 
 
-def _d_minhash_sig(sh: str, perms: int = dedup.MINHASH_PERMS) -> str:
+_D_SHINGLE_HASHES = "list_transform({sh}, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
+
+
+def _d_minhash_sig(hs: str, perms: int = dedup.MINHASH_PERMS) -> str:
+    """Universal-hash minhash over a precomputed 32-bit hash list."""
     mins = ", ".join(
-        f"list_min(list_transform({sh}, s -> md5('{j}:' || s)))" for j in range(perms)
+        f"list_min(list_transform({hs}, h -> (h * {a} + {b}) % {dedup.MINHASH_P}))"
+        for a, b in dedup.MINHASH_AB[:perms]
     )
     return f"[{mins}]"
+
+
+_D_LSH_BUCKETS = (
+    "unnest(["
+    + ", ".join(
+        f"md5('{b}|' || s[{2 * b + 1}]::VARCHAR || '|' || s[{2 * b + 2}]::VARCHAR)"
+        for b in range(dedup.MINHASH_PERMS // dedup.LSH_BAND_SIZE)
+    )
+    + "])"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -394,16 +409,21 @@ FROM scored
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.with_minhash(_docs(spark, sf_dir))
-    return d.select("doc_id", F.array_join("minhash", "|").alias("sig_str"))
+    sig_str = F.array_join(
+        F.transform("minhash", lambda x: x.cast("string")), "|"
+    )
+    return d.select("doc_id", sig_str.alias("sig_str"))
 
 
 _SQL_MINHASH = f"""
 WITH tok AS (
   SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM documents),
 sh AS (
-  SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM tok)
-SELECT doc_id, array_to_string({_d_minhash_sig('shingles')}, '|') AS sig_str
-FROM sh
+  SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM tok),
+hsh AS (
+  SELECT doc_id, {_D_SHINGLE_HASHES.format(sh='shingles')} AS hs FROM sh)
+SELECT doc_id, array_to_string({_d_minhash_sig('hs')}, '|') AS sig_str
+FROM hsh
 """
 
 
@@ -431,19 +451,18 @@ corpus AS (
 
 
 def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(_near_dup_corpus_spark(spark, sf_dir))
+    prep = dedup.prepare_dedup_corpus(_near_dup_corpus_spark(spark, sf_dir))
+    return dedup.lsh_candidate_pairs(None, prepared=prep)
 
 
 _SQL_LSH_PAIRS = f"""
 WITH {_D_NEAR_DUP_CORPUS},
 tok AS (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM corpus),
 sh AS (SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM tok),
-sig AS (SELECT doc_id, {_d_minhash_sig('shingles')} AS s FROM sh),
+hsh AS (SELECT doc_id, {_D_SHINGLE_HASHES.format(sh='shingles')} AS hs FROM sh),
+sig AS (SELECT doc_id, {_d_minhash_sig('hs')} AS s FROM hsh),
 buckets AS (
-  SELECT doc_id, unnest([
-    md5('0|' || s[1] || s[2]), md5('1|' || s[3] || s[4]),
-    md5('2|' || s[5] || s[6]), md5('3|' || s[7] || s[8])]) AS bucket
-  FROM sig)
+  SELECT doc_id, {_D_LSH_BUCKETS} AS bucket FROM sig)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b USING (bucket)
 WHERE a.doc_id < b.doc_id
@@ -451,21 +470,19 @@ WHERE a.doc_id < b.doc_id
 
 
 def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _near_dup_corpus_spark(spark, sf_dir)
-    pairs = dedup.lsh_candidate_pairs(corpus)
-    return dedup.jaccard_pairs(corpus, pairs, threshold=0.5)
+    prep = dedup.prepare_dedup_corpus(_near_dup_corpus_spark(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(None, prepared=prep)
+    return dedup.jaccard_pairs(None, pairs, threshold=0.5, prepared=prep)
 
 
 _SQL_JACCARD = f"""
 WITH {_D_NEAR_DUP_CORPUS},
 tok AS (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM corpus),
 sh AS (SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM tok),
-sig AS (SELECT doc_id, shingles, {_d_minhash_sig('shingles')} AS s FROM sh),
+hsh AS (SELECT doc_id, {_D_SHINGLE_HASHES.format(sh='shingles')} AS hs FROM sh),
+sig AS (SELECT doc_id, {_d_minhash_sig('hs')} AS s FROM hsh),
 buckets AS (
-  SELECT doc_id, unnest([
-    md5('0|' || s[1] || s[2]), md5('1|' || s[3] || s[4]),
-    md5('2|' || s[5] || s[6]), md5('3|' || s[7] || s[8])]) AS bucket
-  FROM sig),
+  SELECT doc_id, {_D_LSH_BUCKETS} AS bucket FROM sig),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b USING (bucket)

@@ -43,8 +43,10 @@ def _py_shingles(t, k=2):
 
 def _py_minhash(t, perms=8):
     sh = _py_shingles(t)
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
     return [
-        min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in sh) for j in range(perms)
+        min((a * h + b) % dedup.MINHASH_P for h in hs)
+        for a, b in dedup.MINHASH_AB[:perms]
     ]
 
 
