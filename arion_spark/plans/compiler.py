@@ -188,3 +188,57 @@ def error_doc(exc: Exception) -> str:
     (reference: src/arion.cpp:842-864)."""
     doc = getattr(exc, "doc", None) or {"result": False, "error_message": str(exc)}
     return json.dumps(doc)
+
+
+class PipelineBuilder:
+    """Programmatic chain construction without JSON — the analog of the
+    reference's ``Arion::addResizeOperation`` structured entry point
+    (reference: src/arion.cpp:243-301, src/carion.h:61).
+
+    >>> out = (PipelineBuilder()
+    ...        .read_meta()
+    ...        .normalize(width=64, type="fill", gravity="center")
+    ...        .fingerprint()
+    ...        .run(spark, df))
+    """
+
+    def __init__(self) -> None:
+        self._ops: list[dict] = []
+        self._write_meta: dict = {}
+
+    def _add(self, type_: str, params: dict) -> "PipelineBuilder":
+        self._ops.append({"type": type_, "params": params})
+        return self
+
+    def read_meta(self, info: bool = True) -> "PipelineBuilder":
+        return self._add("read_meta", {"info": info})
+
+    def normalize(self, **params) -> "PipelineBuilder":
+        return self._add("normalize", params)
+
+    def fingerprint(self, type: str = "md5") -> "PipelineBuilder":
+        return self._add("fingerprint", {"type": type})
+
+    def copy(self, output_table: str, preserve_meta: bool = True) -> "PipelineBuilder":
+        return self._add(
+            "copy", {"output_table": output_table, "preserve_meta": preserve_meta}
+        )
+
+    def filter(self, where: str) -> "PipelineBuilder":
+        return self._add("filter", {"where": where})
+
+    def write_meta(self, **fields) -> "PipelineBuilder":
+        self._write_meta.update(fields)
+        return self
+
+    def to_spec(self) -> dict:
+        spec: dict = {"operations": list(self._ops)}
+        if self._write_meta:
+            spec["write_meta"] = dict(self._write_meta)
+        return spec
+
+    def compile(self) -> CompiledPipeline:
+        return compile_pipeline(self.to_spec())
+
+    def run(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        return run_pipeline(spark, self.to_spec(), df)

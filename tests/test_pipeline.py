@@ -138,3 +138,30 @@ def test_normalized_matches_oracle_end_to_end(spark, transcripts_df, fixture_row
             r["text"], width=24, type_="fill", gravity="center"
         )
         assert got.turn_md5 == oracle.turn_md5(r["text"])
+
+
+def test_builder_api_equals_json_spec(spark, transcripts_df):
+    """PipelineBuilder (the reference's programmatic C-API analog,
+    reference: src/arion.cpp:243-301) produces the identical result as
+    the equivalent JSON spec."""
+    from arion_spark.plans.compiler import PipelineBuilder
+
+    built = (
+        PipelineBuilder()
+        .read_meta()
+        .normalize(width=32, type="fill", gravity="ne")
+        .fingerprint()
+        .run(spark, transcripts_df)
+    )
+    spec = {
+        "operations": [
+            {"type": "read_meta", "params": {"info": True}},
+            {"type": "normalize", "params": {"width": 32, "type": "fill", "gravity": "ne"}},
+            {"type": "fingerprint", "params": {"type": "md5"}},
+        ]
+    }
+    from arion_spark.plans.compiler import run_pipeline
+
+    want = run_pipeline(spark, spec, transcripts_df)
+    assert built.schema == want.schema
+    assert built.exceptAll(want).count() == 0 and want.exceptAll(built).count() == 0

@@ -34,7 +34,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "400000"))
+TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "1600000"))
 LEVELS = (8, 32)
 
 
