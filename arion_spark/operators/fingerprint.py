@@ -20,8 +20,10 @@ Three surfaces:
 
 Scale note: the conv_id shuffle is the only wide dependency; hot
 conversations are handled upstream by salting (see
-arion_spark.streaming.skew) — fingerprint itself is skew-neutral because
-state per key is O(turns-in-conv).
+arion_spark.streaming.windows.salted_windowed_conv_counts and the
+salted two-stage aggregation in arion_spark.queries) — fingerprint
+itself is skew-neutral: per-conversation work is O(turns-in-conv) and
+the rolling scan's cost per partition is O(rows-in-partition).
 """
 
 from __future__ import annotations

@@ -41,7 +41,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Size the heap to the working set, not the machine: an oversized
+        # heap (48g was tried) leaves cold pages the host's proactive
+        # reclaim (DAMON) takes back, causing intermittent 5-10× job
+        # stalls on re-touch; 12g is stable and never spills at bench
+        # scale.  Cluster deployments set this via spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     )

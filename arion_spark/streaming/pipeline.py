@@ -24,7 +24,11 @@ from arion_spark.operators import read_meta as op_meta
 from arion_spark.plans.spec import PipelineSpec, parse_spec
 from arion_spark.streaming.sink import MergeSink
 from arion_spark.streaming.source import read_replay_stream
-from arion_spark.streaming.stateful import ordered_fold_stream
+from arion_spark.streaming.stateful import (
+    DEFAULT_N_BUCKETS,
+    ordered_fold_stream,
+    ordered_fold_stream_bucketed,
+)
 
 
 def apply_stateless_chain(df: DataFrame, spec: PipelineSpec) -> DataFrame:
@@ -54,16 +58,30 @@ def run_stream_pipeline(
     watermark: str = "1 hour",
     session_gap_ms: int = 30 * 60 * 1000,
     max_files_per_trigger: int = 1,
+    n_buckets: int = DEFAULT_N_BUCKETS,
 ) -> tuple[StreamingQuery, MergeSink]:
     """Start the streaming chain; returns (query, sink).
 
     Callers drive with ``query.processAllAvailable()`` (tests/bench) or
     let the trigger run (production).
-    """
+
+    ``n_buckets > 0`` uses the bucketed state layout (per-key machinery
+    amortized over ~convs/buckets conversations — the at-scale default);
+    ``n_buckets = 0`` keeps one state key per conversation."""
     if not isinstance(spec, PipelineSpec):
         spec = parse_spec(spec)
     stream = read_replay_stream(spark, replay_dir, max_files_per_trigger)
-    folded = ordered_fold_stream(stream, watermark=watermark, session_gap_ms=session_gap_ms)
+    if n_buckets:
+        folded = ordered_fold_stream_bucketed(
+            stream,
+            watermark=watermark,
+            session_gap_ms=session_gap_ms,
+            n_buckets=n_buckets,
+        )
+    else:
+        folded = ordered_fold_stream(
+            stream, watermark=watermark, session_gap_ms=session_gap_ms
+        )
     staged = apply_stateless_chain(folded, spec)
     sink = MergeSink(out_dir)
     query = (

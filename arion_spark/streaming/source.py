@@ -21,14 +21,22 @@ from arion_spark.transcripts import TRANSCRIPT_SCHEMA
 
 
 def write_replay_chunks(
-    df: DataFrame, out_dir: str, n_chunks: int = 8
+    df: DataFrame, out_dir: str, n_chunks: int = 8, files_per_chunk: int = 1
 ) -> list[str]:
-    """Split ``df`` into ``n_chunks`` ts-ordered parquet files.
+    """Split ``df`` into ``n_chunks`` ts-ordered parquet chunk dirs.
 
     Chunking is by ts-rank so arrival order ≈ event-time order with the
     controlled out-of-orderness already present in the data (the
     within-watermark jitter the generator plants).
-    """
+
+    ``files_per_chunk=1`` (default) gives byte-deterministic micro-batch
+    boundaries with ``maxFilesPerTrigger=1`` — what the exactly-once /
+    restart tests need.  For THROUGHPUT runs set ``files_per_chunk`` ≈
+    cores and ``maxFilesPerTrigger=files_per_chunk``: a single-file
+    chunk makes every micro-batch's scan+watermark stage one task — a
+    serial stage that caps scaling no matter how many cores the
+    stateful stage has (the production source is a many-partition
+    Iceberg/Kafka stream, which this models)."""
     ranked = df.withColumn(
         "_chunk",
         F.ntile(n_chunks).over(Window.orderBy("ts", "conv_id", "turn_idx")),
@@ -36,13 +44,13 @@ def write_replay_chunks(
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i in range(1, n_chunks + 1):
-        # one file per chunk → one micro-batch per trigger with
-        # maxFilesPerTrigger=1 (coalesce(1) is replay-fixture-only; the
-        # production source is Iceberg/Kafka partitions)
         chunk_dir = f"{out_dir}/chunk={i:04d}"
-        ranked.where(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(chunk_dir)
+        chunk = ranked.where(F.col("_chunk") == i).drop("_chunk")
+        if files_per_chunk == 1:
+            chunk = chunk.coalesce(1)
+        else:
+            chunk = chunk.repartition(files_per_chunk)
+        chunk.write.mode("overwrite").parquet(chunk_dir)
         paths.append(chunk_dir)
     return paths
 

@@ -35,6 +35,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "1600000"))
+#: the batch chain is ~20x lighter per row than the stateful stream;
+#: give it proportionally more rows so compute (not fixed cost) is measured
+BATCH_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_BATCH_TURNS", str(TURNS * 3)))
+#: best-of-N per cell: the sandbox host shows intermittent multi-second
+#: stalls (proactive memory reclaim) that poison single-shot walls; the
+#: minimum wall measures the engine, not the host
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
 LEVELS = (8, 32)
 
 
@@ -46,8 +53,15 @@ def prepare(work: str, turns: int) -> None:
 
     spark = get_spark("scaling_prepare", cpus=32)
     df = generate_transcripts(spark, turns)
-    df.write.mode("overwrite").parquet(f"{work}/flat")
-    write_replay_chunks(df, f"{work}/replay", n_chunks=4)
+    generate_transcripts(spark, BATCH_TURNS).write.mode("overwrite").parquet(
+        f"{work}/flat"
+    )
+    # multi-file chunks: the per-batch scan stage must parallelize
+    # (single-file chunks = one-task scan = serial floor; see source.py)
+    write_replay_chunks(df, f"{work}/replay", n_chunks=4, files_per_chunk=32)
+    write_replay_chunks(
+        generate_transcripts(spark, 2000), f"{work}/warm_replay", n_chunks=1
+    )
     spark.stop()
 
 
@@ -61,16 +75,24 @@ def run_batch(cpus: int, work: str) -> float:
 
     spark = get_spark(f"scaling_batch_{cpus}", cpus=cpus)
     df = spark.read.parquet(f"{work}/flat")
-    # warmup (JVM/codegen) outside the timed region
-    df.limit(10).count()
 
-    t0 = time.perf_counter()
-    out = op_meta.extract(df)
-    out = op_norm.apply(out, {"width": 64, "type": "fill", "gravity": "center"})
-    out = op_fp.per_turn(out)
-    out = op_fp.rolling(out)
-    out.write.format("noop").mode("overwrite").save()
-    wall = time.perf_counter() - t0
+    def job(frame):
+        out = op_meta.extract(frame)
+        out = op_norm.apply(out, {"width": 64, "type": "fill", "gravity": "center"})
+        out = op_fp.per_turn(out)
+        out = op_fp.rolling(out)
+        out.write.format("noop").mode("overwrite").save()
+
+    # warmup: identical plan over a tiny slice spread across all cores —
+    # pays codegen compile + forks every Python worker outside the timed
+    # region (steady-state throughput is the metric, not cold start)
+    job(df.limit(2000).repartition(cpus))
+
+    wall = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        job(df)
+        wall = min(wall, time.perf_counter() - t0)
     spark.stop()
     return wall
 
@@ -88,14 +110,25 @@ def run_streaming(cpus: int, work: str) -> float:
         ]
     }
     out = tempfile.mkdtemp(prefix=f"scaling_out_{cpus}_")
-    t0 = time.perf_counter()
-    query, _sink = run_stream_pipeline(
-        spark, spec, f"{work}/replay", f"{out}/table", f"{out}/ckpt",
+    # warmup query: same plan on a tiny replay — codegen + Python worker
+    # forks + state-store init happen outside the timed region
+    wq, _ = run_stream_pipeline(
+        spark, spec, f"{work}/warm_replay", f"{out}/warm_table", f"{out}/warm_ckpt",
         watermark="10 minutes",
     )
-    query.processAllAvailable()
-    query.stop()
-    wall = time.perf_counter() - t0
+    wq.processAllAvailable()
+    wq.stop()
+
+    wall = float("inf")
+    for rep in range(max(REPEATS - 1, 1)):
+        t0 = time.perf_counter()
+        query, _sink = run_stream_pipeline(
+            spark, spec, f"{work}/replay", f"{out}/table_{rep}", f"{out}/ckpt_{rep}",
+            watermark="10 minutes", max_files_per_trigger=32,
+        )
+        query.processAllAvailable()
+        query.stop()
+        wall = min(wall, time.perf_counter() - t0)
     spark.stop()
     shutil.rmtree(out, ignore_errors=True)
     return wall
@@ -107,8 +140,9 @@ def child(mode: str, cpus: int, work: str) -> None:
         print(json.dumps({"prepared": TURNS}))
         return
     wall = run_batch(cpus, work) if mode == "batch" else run_streaming(cpus, work)
+    n = BATCH_TURNS if mode == "batch" else TURNS
     print(json.dumps({"mode": mode, "cpus": cpus, "wall_sec": round(wall, 3),
-                      "turns_per_sec": round(TURNS / wall, 1)}))
+                      "turns": n, "turns_per_sec": round(n / wall, 1)}))
 
 
 def spawn(mode: str, cpus: int, work: str) -> dict:
