@@ -59,6 +59,7 @@ def run_stream_pipeline(
     session_gap_ms: int = 30 * 60 * 1000,
     max_files_per_trigger: int = 1,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    sink_stats: str = "full",
 ) -> tuple[StreamingQuery, MergeSink]:
     """Start the streaming chain; returns (query, sink).
 
@@ -83,7 +84,7 @@ def run_stream_pipeline(
             stream, watermark=watermark, session_gap_ms=session_gap_ms
         )
     staged = apply_stateless_chain(folded, spec)
-    sink = MergeSink(out_dir)
+    sink = MergeSink(out_dir, stats=sink_stats)
     query = (
         staged.writeStream.outputMode("append")
         .foreachBatch(sink.foreach_batch())
