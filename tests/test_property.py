@@ -1,0 +1,111 @@
+"""Property-based tests: Spark expressions vs the pure-Python oracle.
+
+Hypothesis generates adversarial text (unicode, whitespace runs, empty
+strings) and parameter combinations; each example set is evaluated in
+ONE Spark job (a generated DataFrame), so the per-example cost is a row,
+not a session round trip.  These fuzz the exact geometry/fold/shingle
+semantics the golden tests pin at fixed points (SURVEY.md §5.2 items
+3-4; the reference's gravity grid is tests/functional/test.py:417-841).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from arion_spark import oracle
+from arion_spark.functions import dedup
+from arion_spark.operators import fingerprint as op_fp
+from arion_spark.operators import normalize as op_norm
+
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Zs"), include_characters=" ,\t"
+    ),
+    max_size=80,
+)
+
+GRAVITIES = sorted(oracle.GRAVITY_POS)
+TYPES = ["width", "height", "square", "fill"]
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            TEXT,
+            st.integers(1, 40),
+            st.sampled_from(TYPES),
+            st.sampled_from(GRAVITIES),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_geometry_expr_matches_oracle(spark, rows):
+    df = spark.createDataFrame(
+        [(i, t, w, ty, g) for i, (t, w, ty, g) in enumerate(rows)],
+        "i long, text string, w int, ty string, g string",
+    )
+    def args(w, ty):
+        # the spec requires the size on the axis the type scales by
+        return (None, w) if ty == "height" else (w, None)
+
+    cols = [
+        op_norm.geometry_expr(F.col("text"), *args(w, ty), ty, g).alias(f"out_{i}")
+        for i, (t, w, ty, g) in enumerate(rows)
+    ]
+    got = {r["i"]: r for r in df.select("i", *cols).collect()}
+    for i, (t, w, ty, g) in enumerate(rows):
+        want = oracle.normalize_geometry(t, *args(w, ty), ty, g)
+        assert got[i][f"out_{i}"] == want, (i, t, w, ty, g)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(TEXT, min_size=1, max_size=30))
+def test_conversation_fold_matches_python(spark, texts):
+    rows = [("c", i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = op_fp.conversation(df).collect()[0]
+
+    fp = ""
+    for t in texts:
+        m = hashlib.md5(t.encode("utf-8")).hexdigest()
+        fp = hashlib.md5((fp + m).encode("ascii")).hexdigest()
+    assert got["conv_fp"] == fp and got["n_turns"] == len(texts)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(TEXT, min_size=1, max_size=15))
+def test_minhash_matches_python(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: list(r.minhash) for r in dedup.with_minhash(df).collect()}
+    for i, t in enumerate(texts):
+        # engine tokenizer semantics: trim = ASCII space only, \s = ASCII
+        # whitespace (Java regex + DuckDB RE2 agree; Python str.split is
+        # unicode-aware and would diverge on e.g. '\xa0')
+        import re
+
+        s = t.strip(" ").lower()
+        toks = [] if s == "" else re.split(r"\s+", s, flags=re.ASCII)
+        sh = []
+        for j in range(max(len(toks) - 1, 1)):
+            sh.append(" ".join(toks[j : j + 2]))
+        sh = list(dict.fromkeys(sh))
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+        want = [
+            min((a * h + b) % dedup.MINHASH_P for h in hs)
+            for a, b in dedup.MINHASH_AB
+        ]
+        assert got[i] == want, (i, t)
