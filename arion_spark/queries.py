@@ -662,13 +662,39 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
-# -- non-SQL-expressible (rows-only driver check) ----------------------------
-
 def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return similarity.lsh_topk(e, e.where(F.col("vec_id") < 8), dim=64, k=5)
+
+
+def _sql_srp_ann(dim: int = 64, n_planes: int = 6) -> str:
+    """SRP oracle: the hyperplanes are the SAME md5-derived constants the
+    Spark side uses (similarity._hyperplanes), inlined as literals."""
+    planes = similarity._hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in row)}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round({_D_COS.format(a='q.v', b='c.v')}, 3) AS score
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# -- non-SQL-expressible (rows-only driver check) ----------------------------
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,7 +726,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("simhash_docs", q_simhash_docs, _SQL_SIMHASH),
     ("doc_fingerprints", q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
     ("topk_docs", q_topk_docs, _SQL_TOPK_DOCS),
-    ("srp_ann", q_srp_ann, None),
+    ("srp_ann", q_srp_ann, _sql_srp_ann()),
     ("media_features", q_media_features, None),
 ]
 

@@ -83,7 +83,9 @@ def bench_streaming(spark, n_turns: int) -> dict:
     work = tempfile.mkdtemp(prefix="arion_bench_")
     try:
         df = generate_transcripts(spark, n_turns)
-        write_replay_chunks(df, f"{work}/replay", n_chunks=8)
+        # multi-file chunks: a 1-file chunk makes each micro-batch's scan a
+        # single task (serial floor) — production sources are many-partition
+        write_replay_chunks(df, f"{work}/replay", n_chunks=8, files_per_chunk=8)
 
         cap = ProgressCapture()
         spark.streams.addListener(cap)
@@ -105,6 +107,7 @@ def bench_streaming(spark, n_turns: int) -> dict:
             f"{work}/out",
             f"{work}/ckpt",
             watermark="10 minutes",
+            max_files_per_trigger=8,
         )
         query.processAllAvailable()
         query.stop()
