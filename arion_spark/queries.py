@@ -317,6 +317,64 @@ GROUP BY u.conv_id, u.turn_idx
 """
 
 
+def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User→first-responder latency percentiles per hour — the CEP
+    analytics twin of streaming.join.user_response_join + a windowed
+    aggregate (exact interpolated percentiles, not approx, so the
+    DuckDB oracle can reproduce them)."""
+    t = transcripts_from_events(spark, sf_dir)
+    u = t.where(F.col("role") == "user").select(
+        F.col("conv_id").alias("u_conv"),
+        F.col("turn_idx").alias("u_turn_idx"),
+        F.col("ts").alias("u_ts"),
+    )
+    r = t.where(F.col("role").isin("assistant", "tool")).select(
+        F.col("conv_id").alias("r_conv"), F.col("ts").alias("r_ts")
+    )
+    cond = (
+        (F.col("u_conv") == F.col("r_conv"))
+        & (F.col("r_ts") >= F.col("u_ts"))
+        & (F.col("r_ts") < F.col("u_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    first = (
+        u.join(r, cond, "inner")
+        .groupBy("u_conv", "u_turn_idx", "u_ts")
+        .agg(F.min("r_ts").alias("first_r_ts"))
+    )
+    # fractional seconds: unix_timestamp truncates millis, DuckDB epoch()
+    # keeps them — go through TIMESTAMP (session tz is UTC) to double
+    def _epoch(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    lat = _epoch("first_r_ts") - _epoch("u_ts")
+    return (
+        first.withColumn("lat_s", lat)
+        .groupBy(F.date_trunc("hour", "u_ts").alias("hour"))
+        .agg(
+            F.count("*").cast("int").alias("n_answered"),
+            F.round(F.expr("percentile(lat_s, 0.5)"), 2).alias("p50_s"),
+            F.round(F.expr("percentile(lat_s, 0.95)"), 2).alias("p95_s"),
+        )
+    )
+
+
+_SQL_RESPONSE_LATENCY = f"""{_T},
+first AS (
+  SELECT u.conv_id, u.turn_idx, u.ts AS u_ts, min(r.ts) AS first_r_ts
+  FROM transcripts u
+  JOIN transcripts r
+    ON r.conv_id = u.conv_id AND r.role IN ('assistant', 'tool')
+   AND r.ts >= u.ts AND r.ts < u.ts + INTERVAL 1 HOUR
+  WHERE u.role = 'user'
+  GROUP BY u.conv_id, u.turn_idx, u.ts)
+SELECT date_trunc('hour', u_ts) AS hour,
+  cast(count(*) AS INT) AS n_answered,
+  round(quantile_cont(epoch(first_r_ts) - epoch(u_ts), 0.5), 2) AS p50_s,
+  round(quantile_cont(epoch(first_r_ts) - epoch(u_ts), 0.95), 2) AS p95_s
+FROM first GROUP BY 1
+"""
+
+
 def q_salted_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation over conv_id (hot-key defusal): partial
     agg on (conv_id, salt), then merge — result equals the plain groupBy
@@ -714,6 +772,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("tumbling_hour", q_tumbling_hour, _SQL_TUMBLING_HOUR),
     ("sliding_10m", q_sliding_10m, _SQL_SLIDING_10M),
     ("interval_join", q_interval_join, _SQL_INTERVAL_JOIN),
+    ("response_latency", q_response_latency, _SQL_RESPONSE_LATENCY),
     ("salted_conv_stats", q_salted_conv_stats, _SQL_SALTED_CONV_STATS),
     ("dedup_exact", q_dedup_exact, _SQL_DEDUP_EXACT),
     ("docs_quality", q_docs_quality, _SQL_DOCS_QUALITY),
