@@ -263,3 +263,44 @@ def test_streaming_windows_match_batch_counts(spark, transcripts_df, tmp_path):
     srows = sess.collect()
     assert srows
     assert all(r.n_turns >= 1 and r.session_end > r.session_start for r in srows)
+
+
+def test_soak_restart_every_batch_equals_uninterrupted(spark, transcripts_df, tmp_path):
+    """Kill the query after EVERY micro-batch and restart from checkpoint;
+    the final merged table must equal an uninterrupted run bit-for-bit
+    (the strongest form of the exactly-once/restart contract)."""
+    import time as _time
+
+    replay = str(tmp_path / "replay")
+    write_replay_chunks(transcripts_df, replay, n_chunks=5)
+
+    # uninterrupted twin
+    sink_ref = _run(spark, replay, str(tmp_path), tag="ref")
+    want = sink_ref.read_merged(spark)
+
+    out, ckpt = str(tmp_path / "soak_out"), str(tmp_path / "soak_ckpt")
+    seen = 0
+    for attempt in range(12):  # 5 chunks + timeout batches; bounded
+        q, sink = run_stream_pipeline(
+            spark, SPEC, replay, out, ckpt,
+            watermark="30 minutes", session_gap_ms=30 * 60 * 1000,
+        )
+        # stop as soon as one MORE batch commits (mid-stream kill)
+        deadline = _time.time() + 60
+        while len(sink.committed_batches()) <= seen and _time.time() < deadline:
+            if not q.isActive:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        n_now = len(sink.committed_batches())
+        if n_now == seen and attempt > 0:
+            break  # no new batch → stream drained
+        seen = n_now
+    else:
+        pytest.fail("soak loop did not drain the stream")
+
+    got = sink.read_merged(spark)
+    cols = ["conv_id", "turn_idx", "text", "turn_md5", "conv_fp"]
+    assert got.count() == want.count()
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
