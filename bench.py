@@ -135,6 +135,14 @@ def main() -> None:
     spark = get_spark("arion_bench", cpus=CPUS)
     batch = bench_batch(spark)
     stream = bench_streaming(spark, BENCH_TURNS)
+    # Stop Spark BEFORE printing the JSON line: the JVM's async listener bus
+    # otherwise dumps a py4j StreamingQueryListener stack trace into stdout
+    # *after* the Python process returns (callback server already torn down at
+    # interpreter exit), so the driver's last-line JSON parse fails
+    # (BENCH_r01.json parsed:null).  spark.stop() drains the listener bus and
+    # shuts the callback server down cleanly; the JSON print is the absolute
+    # last action.
+    spark.stop()
 
     queries = dict(batch)
     queries["streaming_replay"] = stream["streaming_replay_sec"]
