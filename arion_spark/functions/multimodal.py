@@ -50,13 +50,19 @@ FEATURE_SCHEMA = (
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (payload = md5-stream bytes)."""
+    """Deterministic fake media table.
+
+    Payload = ASCII-hex md5 stream (256 bytes).  Still an opaque
+    ``binary`` column to Spark — but expressible in ANSI SQL
+    (``md5(varchar)`` chains), which lets the driver's DuckDB oracle
+    verify the full mapInPandas feature-extraction path end-to-end.
+    """
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
-        blob = b"".join(
-            hashlib.md5(f"{i}:{j}".encode()).digest() for j in range(8)
-        )
+        blob = "".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(8)
+        ).encode("ascii")
         kind = kinds[i % 3]
         rows.append(
             (

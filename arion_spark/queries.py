@@ -752,13 +752,46 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
-# -- non-SQL-expressible (rows-only driver check) ----------------------------
-
-
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract over Arrow batches.
+
+    ``feat array<float>`` is emitted as a ``|``-joined fixed-4dp string so
+    the driver's canonicalizer (pandas sort_values) can hash the frame —
+    same pattern as ``minhash_signatures.sig_str``.
+    """
     from arion_spark.functions import multimodal
 
-    return multimodal.extract_features(multimodal.synthetic_media(spark, 64))
+    feats = multimodal.extract_features(multimodal.synthetic_media(spark, 64))
+    feat_str = F.array_join(
+        F.transform("feat", lambda x: F.format_string("%.4f", x.cast("double"))),
+        "|",
+    )
+    return feats.select(
+        "media_id", "kind", "payload_md5", "n_bytes", feat_str.alias("feat_str")
+    )
+
+
+# The stub codec is md5-deterministic over an ASCII payload, so the whole
+# mapInPandas path IS oracle-expressible: rebuild the payload in SQL,
+# md5 it, and parse the digest's first 8 bytes out of the hex string.
+_SQL_MEDIA_FEATURES = """
+WITH ids AS (SELECT range::INT AS media_id FROM range(64)),
+p AS (
+  SELECT media_id,
+    CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+      AS kind,
+    list_aggregate(
+      list_transform(range(8), j -> md5(media_id::VARCHAR || ':' || j::VARCHAR)),
+      'string_agg', '') AS payload
+  FROM ids),
+h AS (SELECT media_id, kind, payload, md5(payload) AS hx FROM p)
+SELECT media_id::BIGINT AS media_id, kind, hx AS payload_md5,
+  length(payload)::INT AS n_bytes,
+  array_to_string(list_transform(range(8), j ->
+    printf('%.4f', (('0x' || substr(hx, (2*j+1)::INT, 2))::INT) / 255.0)), '|')
+    AS feat_str
+FROM h
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -786,7 +819,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("doc_fingerprints", q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
     ("topk_docs", q_topk_docs, _SQL_TOPK_DOCS),
     ("srp_ann", q_srp_ann, _sql_srp_ann()),
-    ("media_features", q_media_features, None),
+    ("media_features", q_media_features, _SQL_MEDIA_FEATURES),
 ]
 
 

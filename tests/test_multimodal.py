@@ -15,9 +15,11 @@ def test_feature_extraction_schema_and_determinism(spark):
     assert len(rows) == 32
     r0 = rows[0]
     assert len(r0.feat) == 8 and all(0 <= f <= 1 for f in r0.feat)
-    assert r0.n_bytes == 128  # 8 md5 digests
+    assert r0.n_bytes == 256  # 8 md5 hexdigests (ASCII)
     # payload_md5 matches an independent computation
-    blob = b"".join(hashlib.md5(f"0:{j}".encode()).digest() for j in range(8))
+    blob = "".join(
+        hashlib.md5(f"0:{j}".encode()).hexdigest() for j in range(8)
+    ).encode("ascii")
     assert r0.payload_md5 == hashlib.md5(blob).hexdigest()
     # re-run → identical (stub decode is deterministic)
     rows2 = {r.media_id: r for r in multimodal.extract_features(media).collect()}
