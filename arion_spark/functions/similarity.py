@@ -78,22 +78,23 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int, seed: str = "") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) from
-    md5(p:d) mapped to [-1, 1]."""
+    md5(seed ‖ p:d) mapped to [-1, 1].  ``seed`` derives independent
+    plane sets per LSH band."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            h = int(hashlib.md5(f"{seed}{p}:{d}".encode()).hexdigest()[:8], 16)
             row.append(h / float(0xFFFFFFFF) * 2.0 - 1.0)
         planes.append(row)
     return planes
 
 
-def srp_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def srp_bucket(vec: Column, dim: int, n_planes: int = 8, seed: str = "") -> Column:
     """Sign-random-projection bucket id (int in [0, 2^n_planes))."""
-    planes = _hyperplanes(dim, n_planes)
+    planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     for p, row in enumerate(planes):
         proj = _dot(vec, F.array(*[F.lit(x) for x in row]))
@@ -207,20 +208,77 @@ def ivf_topk(
     )
 
 
+def banded_srp_buckets(
+    vec: Column, dim: int, n_bands: int, n_planes: int
+) -> Column:
+    """Array of per-band SRP bucket ids; band *b* uses an independent
+    md5-seeded plane set (``seed='band{b}:'``)."""
+    return F.array(
+        *[
+            srp_bucket(vec, dim, n_planes, seed=f"band{b}:")
+            for b in range(n_bands)
+        ]
+    )
+
+
 def cosine_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 16,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b), a < b, cosine ≥
+    threshold, candidates routed through banded SRP-LSH buckets.
+
+    Plan shape (scale path, NOT all-pairs): narrow map computes
+    ``n_bands`` bucket ids per vector → ``posexplode`` to (band, bucket)
+    keys → shuffled **equi-join on (band, bucket)** with ``id_a < id_b``
+    → pair dedup → exact cosine verification of candidates only.  No
+    BroadcastNestedLoopJoin anywhere; the only shuffles are the bucket
+    join (key cardinality ``n_bands · 2^n_planes``) and the pair dedup.
+
+    Recall: a true pair is missed only if it splits in *every* band —
+    P(miss) = (1 - (1 - θ/π)^n_planes)^n_bands; at cos ≥ 0.9
+    (θ ≤ 25.8°) with 16 bands × 4 planes that is < 1e-6.  At larger
+    corpus sizes raise ``n_planes`` (smaller buckets) and ``n_bands``
+    (recall) together.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(
+            banded_srp_buckets(F.col(vec_col), dim, n_bands, n_planes)
+        ).alias("band", "bucket"),
+    )
+    left = b.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
+    )
+    right = b.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return cand.select("id_a", "id_b", sim.alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
+    )
+
+
+def cosine_near_dup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
-    cosine ≥ threshold.
-
-    Exact all-pairs is O(N²) — correct at oracle scale; the 100 TB path
-    is the same predicate over SRP-bucketed candidates
-    (:func:`srp_bucket`): near-duplicates (cos → 1) collide in every
-    band, so bucketing preserves recall at high thresholds.
-    """
+    """Exact all-pairs O(N²) variant — tiny-scale recall verifier for
+    :func:`cosine_near_dup_pairs`, never the production path."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))

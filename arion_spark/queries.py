@@ -670,19 +670,42 @@ ecorpus AS (
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(
-        _dup_embeddings_spark(spark, sf_dir), threshold=0.9
+        _dup_embeddings_spark(spark, sf_dir), dim=64, threshold=0.9
     )
 
 
-_SQL_COSINE_NEAR_DUP = f"""
-WITH {_D_DUP_EMBEDDINGS}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
-    AS cos_sim
-FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9
+def _sql_cosine_near_dup(
+    dim: int = 64, n_bands: int = 16, n_planes: int = 4
+) -> str:
+    """Banded-SRP near-dup oracle: same md5-derived hyperplanes the Spark
+    side uses (similarity._hyperplanes, per-band seeds), inlined as
+    literals; candidates = same (band, bucket), verified by exact
+    cosine — mirrors cosine_near_dup_pairs exactly."""
+    band_selects = []
+    for b in range(n_bands):
+        planes = similarity._hyperplanes(dim, n_planes, seed=f"band{b}:")
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in row)}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(planes)
+        )
+        band_selects.append(
+            f"SELECT vec_id, v, {b} AS band, {bucket} AS bucket FROM ecorpus"
+        )
+    bb = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_D_DUP_EMBEDDINGS},
+bb AS ({bb}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+  round({_D_COS.format(a='ea.v', b='eb.v')}, 4) AS cos_sim
+FROM cand c
+JOIN ecorpus ea ON ea.vec_id = c.id_a
+JOIN ecorpus eb ON eb.vec_id = c.id_b
+WHERE round({_D_COS.format(a='ea.v', b='eb.v')}, 4) >= 0.9
 """
 
 
@@ -814,7 +837,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("jaccard_near_dups", q_jaccard_near_dups, _SQL_JACCARD),
     ("ann_topk", q_ann_topk, _SQL_ANN_TOPK),
     ("ivf_ann", q_ivf_ann, _SQL_IVF_ANN),
-    ("cosine_near_dup", q_cosine_near_dup, _SQL_COSINE_NEAR_DUP),
+    ("cosine_near_dup", q_cosine_near_dup, _sql_cosine_near_dup()),
     ("simhash_docs", q_simhash_docs, _SQL_SIMHASH),
     ("doc_fingerprints", q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
     ("topk_docs", q_topk_docs, _SQL_TOPK_DOCS),

@@ -182,15 +182,23 @@ def test_ivf_ann_matches_brute_force_within_cell(spark, vec_df):
 
 def test_cosine_near_dup_pairs(spark, vec_df):
     """Planted duplicate (vector 100 = vector 0) is found; threshold
-    excludes unrelated pairs exactly as numpy says."""
+    excludes unrelated pairs exactly as numpy says.  The banded-SRP
+    candidate path must (a) equal the exact all-pairs result on this
+    corpus and (b) contain no BroadcastNestedLoopJoin in its plan."""
     dup = spark.createDataFrame(
         [(100, VECS[0][1])], "vec_id long, embedding array<double>"
     )
     corpus = vec_df.unionByName(dup)
-    got = {
+    banded = similarity.cosine_near_dup_pairs(corpus, dim=8, threshold=0.95)
+    assert "BroadcastNestedLoopJoin" not in banded._jdf.queryExecution().executedPlan().toString()
+    got = {(r.id_a, r.id_b): r.cos_sim for r in banded.collect()}
+    exact = {
         (r.id_a, r.id_b): r.cos_sim
-        for r in similarity.cosine_near_dup_pairs(corpus, threshold=0.95).collect()
+        for r in similarity.cosine_near_dup_pairs_exact(
+            corpus, threshold=0.95
+        ).collect()
     }
+    assert got == exact  # LSH recall = 1.0 on this corpus
     assert got[(0, 100)] == 1.0
     M = np.array([v for _, v in VECS] + [VECS[0][1]])
     ids = [i for i, _ in VECS] + [100]
