@@ -27,15 +27,18 @@ from pyspark.sql import functions as F
 
 from arion_spark.operators import copy as op_copy
 from arion_spark.operators import fingerprint as op_fp
+from arion_spark.operators import meta_fields as MF
 from arion_spark.operators import normalize as op_norm
 from arion_spark.operators import read_meta as op_meta
 from arion_spark.plans.spec import OpSpec, PipelineSpec, parse_spec
 
 #: write_meta override fields (S7 analog, reference: src/arion.cpp:409-533):
-#: scalar or repeatable-array metadata injected before operators run;
-#: overrides win over extracted values (reference overwrite semantics).
-WRITE_META_SCALARS = ("caption", "model_released", "property_released")
-WRITE_META_ARRAYS = ("keywords",)
+#: the full 26-entry scalar/repeatable table from operators.meta_fields,
+#: injected as columns BEFORE the op loop (reference: overrideMeta at
+#: src/arion.cpp:737-739); read_meta then skips overridden columns, so
+#: overrides win over extracted values (overwrite-wins semantics).
+WRITE_META_SCALARS = MF.SCALAR_FIELDS + MF.EXTENSION_SCALARS
+WRITE_META_ARRAYS = MF.ARRAY_FIELDS
 
 
 class CompiledPipeline:
@@ -54,20 +57,23 @@ class CompiledPipeline:
         infos: list[Column] = []
         text_ok = F.col("text").isNotNull()
 
-        # S7 write_meta: inject overrides ahead of the chain
+        # S7 write_meta: inject/override metadata columns BEFORE the op
+        # loop (reference: overrideMeta at src/arion.cpp:737-739) — every
+        # downstream operator, read_meta included, sees the overridden
+        # values; fields with no read_meta extraction become new columns.
         overrides = {}
         for k, v in spec.write_meta.items():
             if k in WRITE_META_ARRAYS:
-                overrides[k] = F.array(*[F.lit(x) for x in v])
+                overrides[k] = F.array(*[F.lit(str(x)) for x in v])
             elif k in WRITE_META_SCALARS:
                 overrides[k] = F.lit(v)
+        if overrides:
+            df = df.withColumns(overrides)
 
         norm_seen = 0
         for i, op in enumerate(spec.operations):
             if op.type == "read_meta":
-                df = op_meta.extract(df)
-                if overrides:
-                    df = df.withColumns(overrides)
+                df = op_meta.extract(df, skip=frozenset(overrides))
                 out_doc = F.to_json(
                     F.struct(
                         "caption",
@@ -76,6 +82,8 @@ class CompiledPipeline:
                         "property_released",
                         "n_tokens",
                         "has_tool",
+                        *op_meta.MF.READ_SCALARS,
+                        *op_meta.MF.READ_ARRAYS,
                     )
                 )
                 infos.append(_info(op, text_ok, out_doc))

@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from arion_spark import oracle
+from arion_spark.operators import meta_fields as MF
 
 
 class SpecError(ValueError):
@@ -97,8 +98,50 @@ def parse_spec(spec: str | dict) -> PipelineSpec:
         allow_skip_decode=bool(
             spec.get("allow_skip_decode_image", spec.get("allow_skip_decode", False))
         ),
-        write_meta=dict(spec.get("write_meta", {})),
+        write_meta=_validate_write_meta(spec.get("write_meta", {})),
     )
+
+
+def _validate_write_meta(raw: dict) -> dict:
+    """Validate + canonicalize write_meta against the full 26-field table
+    (reference: src/arion.cpp:431-484).
+
+    * unknown field → setup error (eager-validation contract)
+    * repeatable fields require a list of scalars; scalars must not be lists
+    * the legacy ``instructions`` alias resolves to
+      ``special_instructions``; when both are present the alias wins
+      (it appears later in the reference's table and both write the same
+      IPTC key — last write wins).
+    """
+    if not isinstance(raw, dict):
+        raise SpecError("write_meta must be a JSON object")
+    out: dict = {}
+    for name, _rep in MF.FIELD_TABLE + tuple(
+        (n, False) for n in MF.EXTENSION_SCALARS
+    ):
+        if name not in raw:
+            continue
+        v = raw[name]
+        canon = MF.ALIASES.get(name, name)
+        if name in MF.ARRAY_FIELDS:
+            if not isinstance(v, list) or any(
+                isinstance(x, (list, dict)) for x in v
+            ):
+                raise SpecError(
+                    f"write_meta: '{name}' is repeatable — expected an array of scalars"
+                )
+            out[canon] = [str(x) for x in v]
+        else:
+            if isinstance(v, (list, dict)):
+                raise SpecError(f"write_meta: '{name}' expects a scalar value")
+            out[canon] = v
+    unknown = set(raw) - {n for n, _ in MF.FIELD_TABLE} - set(MF.EXTENSION_SCALARS)
+    if unknown:
+        raise SpecError(
+            f"write_meta: unknown field(s) {sorted(unknown)}; "
+            f"known: {sorted(MF.WRITABLE_FIELDS)}"
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

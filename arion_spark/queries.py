@@ -139,6 +139,95 @@ FROM transcripts
 """
 
 
+def q_read_meta_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-field read_meta breadth (reference readIptc surface,
+    src/models/read_meta.cpp:146-222): scalar copyright/city/
+    province_state/country/special_instructions + repeatable
+    subject[]/byline[], parsed from structured ``[key: value]`` markers."""
+    t = op_meta.extract(transcripts_from_events(spark, sf_dir))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "copyright",
+        "city",
+        "province_state",
+        "country_name",
+        "country_code",
+        "special_instructions",
+        F.array_join("subject", "|").alias("subject_str"),
+        F.array_join("byline", "|").alias("byline_str"),
+    )
+
+
+def _d_marker(name: str) -> str:
+    return rf"'\[{name}:\s*([^\]]*)\]'"
+
+
+_SQL_READ_META_FULL = f"""{_T}
+SELECT conv_id, turn_idx,
+  nullif(trim(regexp_extract(text, {_d_marker('copyright')}, 1)), '') AS copyright,
+  nullif(trim(regexp_extract(text, {_d_marker('city')}, 1)), '') AS city,
+  nullif(trim(regexp_extract(text, {_d_marker('province_state')}, 1)), '')
+    AS province_state,
+  nullif(trim(regexp_extract(text, {_d_marker('country_name')}, 1)), '')
+    AS country_name,
+  nullif(trim(regexp_extract(text, {_d_marker('country_code')}, 1)), '')
+    AS country_code,
+  nullif(trim(regexp_extract(text, {_d_marker('special_instructions')}, 1)), '')
+    AS special_instructions,
+  coalesce(array_to_string(list_transform(regexp_extract_all(text, {_d_marker('subject')}, 1),
+                                 x -> trim(x)), '|'), '') AS subject_str,
+  coalesce(array_to_string(list_transform(regexp_extract_all(text, {_d_marker('byline')}, 1),
+                                 x -> trim(x)), '|'), '') AS byline_str
+FROM transcripts
+"""
+
+
+def q_chain_write_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 write_meta overrides through the compiled pipeline: overrides
+    (scalar, repeatable array, legacy alias) are injected before the op
+    loop and win over read_meta extraction; non-overridden fields still
+    extract (reference: src/arion.cpp:409-533, overwrite semantics)."""
+    from arion_spark.plans.compiler import compile_pipeline
+
+    spec = {
+        "operations": [{"type": "read_meta", "params": {"info": True}}],
+        "write_meta": {
+            "copyright": "(c) write_meta wins",
+            "headline": "Injected Headline",
+            "urgency": 1,
+            "byline": ["Override A", "Override B"],
+            "special_instructions": "loses to alias",
+            "instructions": "alias wins",
+        },
+    }
+    out = compile_pipeline(spec).apply(transcripts_from_events(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "copyright",
+        "headline",
+        "urgency",
+        F.array_join("byline", "|").alias("byline_str"),
+        "special_instructions",
+        "city",  # not overridden → still extracted from markers
+        "result",
+    )
+
+
+_SQL_CHAIN_WRITE_META = f"""{_T}
+SELECT conv_id, turn_idx,
+  '(c) write_meta wins' AS copyright,
+  'Injected Headline' AS headline,
+  1 AS urgency,
+  'Override A|Override B' AS byline_str,
+  'alias wins' AS special_instructions,
+  nullif(trim(regexp_extract(text, {_d_marker('city')}, 1)), '') AS city,
+  text IS NOT NULL AS result
+FROM transcripts
+"""
+
+
 def q_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The resize-analog parameter grid: 4 geometry variants at once
     (reference gravity grid: tests/functional/test.py:417-841)."""
@@ -821,6 +910,8 @@ FROM h
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("chain_flagship", q_chain_flagship, _SQL_CHAIN_FLAGSHIP),
+    ("read_meta_full", q_read_meta_full, _SQL_READ_META_FULL),
+    ("chain_write_meta", q_chain_write_meta, _SQL_CHAIN_WRITE_META),
     ("normalize_grid", q_normalize_grid, _SQL_NORMALIZE_GRID),
     ("fingerprint_conv", q_fingerprint_conv, _SQL_FINGERPRINT_CONV),
     ("fingerprint_rolling", q_fingerprint_rolling, _SQL_FINGERPRINT_ROLLING),

@@ -52,7 +52,17 @@ SELECT
     CASE WHEN event_id % 7  = 0 THEN ', Model Released (MR) confirmed' ELSE '' END,
     CASE WHEN event_id % 11 = 0 THEN ' property released (pr)' ELSE '' END,
     CASE WHEN event_id % 13 = 0 THEN ', keywords, alpha, beta , gamma' ELSE '' END,
-    CASE WHEN event_id % 17 = 0 THEN ' Splitsko-dalmatinska županija' ELSE '' END
+    CASE WHEN event_id % 17 = 0 THEN ' Splitsko-dalmatinska županija' ELSE '' END,
+    CASE WHEN event_id % 19 = 0 THEN ' [copyright: (c) 2024 Arion Labs]' ELSE '' END,
+    CASE WHEN event_id % 23 = 0
+      THEN ' [city: Split] [province_state: Splitsko-dalmatinska] [country_name: Croatia] [country_code: HR]'
+      ELSE '' END,
+    CASE WHEN event_id % 29 = 0
+      THEN ' [byline: Ada Lovelace] [byline: Grace Hopper]' ELSE '' END,
+    CASE WHEN event_id % 31 = 0
+      THEN ' [subject: 01005000] [subject: 15073001]' ELSE '' END,
+    CASE WHEN event_id % 41 = 0
+      THEN ' [special_instructions: hold for release]' ELSE '' END
   ) AS text,
   CASE WHEN cast(event_id % 4 AS INT) = 2 THEN event_type ELSE NULL END AS tool,
   ts

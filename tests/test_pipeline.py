@@ -110,6 +110,75 @@ def test_write_meta_overrides(spark, transcripts_df):
     assert out.caption == "FORCED" and list(out.keywords) == ["k1", "k2"]
 
 
+def test_write_meta_full_field_grid(spark, transcripts_df):
+    """Every field of the reference's 26-entry table is writable
+    (reference: src/arion.cpp:431-484): scalars inject/override a scalar
+    column, repeatable fields replace the whole array."""
+    from arion_spark.operators import meta_fields as MF
+
+    wm = {}
+    for name in MF.SCALAR_FIELDS:
+        wm[name] = f"v-{name}"
+    for name in MF.ARRAY_FIELDS:
+        wm[name] = [f"{name}-1", f"{name}-2"]
+    spec = {"write_meta": wm, "operations": [{"type": "read_meta", "params": {}}]}
+    out = run_pipeline(spark, spec, transcripts_df).head()
+    for name in MF.SCALAR_FIELDS:
+        assert out[name] == f"v-{name}", name
+    for name in MF.ARRAY_FIELDS:
+        assert list(out[name]) == [f"{name}-1", f"{name}-2"], name
+
+
+def test_write_meta_without_read_meta_still_injects(spark, transcripts_df):
+    """overrideMeta runs before the op loop (src/arion.cpp:737-739) —
+    fields appear even when no read_meta op is in the chain."""
+    spec = {
+        "write_meta": {"headline": "H", "contact": ["a@b"]},
+        "operations": [{"type": "fingerprint", "params": {}}],
+    }
+    out = run_pipeline(spark, spec, transcripts_df).head()
+    assert out.headline == "H" and list(out.contact) == ["a@b"]
+
+
+def test_write_meta_instructions_alias_wins(spark, transcripts_df):
+    spec = {
+        "write_meta": {
+            "special_instructions": "loses",
+            "instructions": "alias wins",
+        },
+        "operations": [{"type": "read_meta", "params": {}}],
+    }
+    out = run_pipeline(spark, spec, transcripts_df).head()
+    assert out.special_instructions == "alias wins"
+
+
+def test_write_meta_unknown_field_is_setup_error():
+    with pytest.raises(SpecError, match="unknown field"):
+        compile_pipeline(
+            {
+                "write_meta": {"not_a_field": "x"},
+                "operations": [{"type": "read_meta", "params": {}}],
+            }
+        )
+
+
+def test_write_meta_repeatable_requires_array():
+    with pytest.raises(SpecError, match="repeatable"):
+        compile_pipeline(
+            {
+                "write_meta": {"byline": "not-a-list"},
+                "operations": [{"type": "read_meta", "params": {}}],
+            }
+        )
+    with pytest.raises(SpecError, match="scalar"):
+        compile_pipeline(
+            {
+                "write_meta": {"city": ["a", "b"]},
+                "operations": [{"type": "read_meta", "params": {}}],
+            }
+        )
+
+
 def test_filter_operator(spark, transcripts_df):
     spec = {
         "operations": [

@@ -37,6 +37,51 @@ def test_tool_extraction(spark):
     assert _extract(spark, "x", None).has_tool is False
 
 
+def test_named_scalar_fields(spark):
+    """readIptc named-scalar surface (reference:
+    src/models/read_meta.cpp:146-222) via [key: value] markers."""
+    r = _extract(
+        spark,
+        "hello [copyright: (c) 2024 X] [city: Split] "
+        "[province_state: Splitsko-dalmatinska] [country_name: Croatia] "
+        "[country_code: HR] [special_instructions: hold for release]",
+    )
+    assert r.copyright == "(c) 2024 X"
+    assert r.city == "Split"
+    assert r.province_state == "Splitsko-dalmatinska"
+    assert r.country_name == "Croatia"
+    assert r.country_code == "HR"
+    assert r.special_instructions == "hold for release"
+    # absent markers → NULL scalars (absent-IPTC-key behavior)
+    r2 = _extract(spark, "no markers at all")
+    for f in ("copyright", "city", "province_state", "country_name",
+              "country_code", "special_instructions"):
+        assert r2[f] is None, f
+
+
+def test_named_repeatable_fields(spark):
+    r = _extract(
+        spark,
+        "[byline: Ada Lovelace] text [subject: 01005000] "
+        "[byline: Grace Hopper] [subject: 15073001]",
+    )
+    assert list(r.byline) == ["Ada Lovelace", "Grace Hopper"]
+    assert list(r.subject) == ["01005000", "15073001"]
+    assert list(_extract(spark, "none").byline) == []
+
+
+def test_write_meta_skip_wins_over_extraction(spark):
+    """extract(skip=...) leaves an injected column untouched —
+    overrideMeta-before-ops semantics (src/arion.cpp:737-739)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("[city: Split]", None)], "text string, tool string"
+    ).withColumn("city", F.lit("OVERRIDDEN"))
+    out = read_meta.extract(df, skip=frozenset({"city"})).head()
+    assert out.city == "OVERRIDDEN"
+
+
 def test_matches_python_oracle(spark, fixture_rows):
     df = spark.createDataFrame(
         [(r["text"], r["tool"]) for r in fixture_rows], "text string, tool string"
