@@ -26,12 +26,17 @@ from pyspark.sql import types as T
 from arion_spark import oracle
 
 
-def _crop_pad_expr(text: Column, target: int, pos: str) -> Column:
+def _crop_pad_expr(
+    text: Column, target: int, pos: str, interp: str = "area"
+) -> Column:
     """JVM expression mirror of ``oracle._crop_pad``.
 
     offset: left→0, center→floor((n-t+1)/2) (≡ round-half-up of (n-t)/2
-    for integer n-t), right→n-t; shorter inputs pad with spaces on the
-    side opposite the gravity.
+    for integer n-t), right→n-t; shorter inputs pad on the side opposite
+    the gravity.  ``interp`` selects the boundary-rendering policy
+    (oracle.INTERP_TRUNC_DOTS / INTERP_PAD — the resampling-kernel
+    analog); ``area`` keeps the plain cut + space pad default.  Still one
+    pure JVM expression — no Python for any mode.
     """
     n = F.length(text)
     t = F.lit(target)
@@ -43,14 +48,36 @@ def _crop_pad_expr(text: Column, target: int, pos: str) -> Column:
         off = F.floor((n - t + 1) / 2).cast("int")
     cropped = F.substring(text, off + 1, target)  # substring is 1-based
 
+    d = oracle.INTERP_TRUNC_DOTS[interp]
+    if d:
+        # ellipsis over the outermost chars of each side that cut content
+        l_dots = F.when(off > 0, F.least(F.lit(d), t)).otherwise(F.lit(0))
+        r_dots = F.when(
+            (n - t - off) > 0, F.least(F.lit(d), t - l_dots)
+        ).otherwise(F.lit(0))
+        cropped = F.concat(
+            F.repeat(F.lit("."), l_dots),
+            cropped.substr(l_dots + 1, t - l_dots - r_dots),
+            F.repeat(F.lit("."), r_dots),
+        )
+
+    pad_mode = oracle.INTERP_PAD[interp]
+    if pad_mode == "edge":
+        lc = F.when(n == 0, F.lit(" ")).otherwise(F.substring(text, 1, 1))
+        rc = F.when(n == 0, F.lit(" ")).otherwise(text.substr(n, F.lit(1)))
+    elif pad_mode == "_":
+        lc = rc = F.lit("_")
+    else:
+        lc = rc = F.lit(" ")
+
     pad = t - n
     if pos == "left":
-        padded = F.rpad(text, target, " ")
+        padded = F.concat(text, F.repeat(rc, pad))
     elif pos == "right":
-        padded = F.lpad(text, target, " ")
+        padded = F.concat(F.repeat(lc, pad), text)
     else:
         left = F.floor(pad / 2).cast("int")
-        padded = F.rpad(F.concat(F.repeat(F.lit(" "), left), text), target, " ")
+        padded = F.concat(F.repeat(lc, left), text, F.repeat(rc, pad - left))
     return F.when(n >= t, cropped).otherwise(padded)
 
 
@@ -60,19 +87,22 @@ def geometry_expr(
     height: int | None,
     type_: str,
     gravity: str = "center",
+    interp: str = "area",
 ) -> Column:
     """The four resize algorithms as one JVM expression
     (see oracle.normalize_geometry for the semantic definition)."""
     if type_ == "width":
         target = width if height is None else min(width, height)
-        return _crop_pad_expr(text, target, "left")
+        return _crop_pad_expr(text, target, "left", interp)
     if type_ == "height":
         target = height if width is None else min(height, width)
-        return _crop_pad_expr(text, target, "left")
+        return _crop_pad_expr(text, target, "left", interp)
     if type_ == "square":
-        return _crop_pad_expr(text, width, "center")
+        return _crop_pad_expr(text, width, "center", interp)
     if type_ == "fill":
-        return _crop_pad_expr(text, width, oracle.GRAVITY_POS[gravity.lower()])
+        return _crop_pad_expr(
+            text, width, oracle.GRAVITY_POS[gravity.lower()], interp
+        )
     raise ValueError(f"unknown resize type: {type_}")
 
 
@@ -135,6 +165,7 @@ def apply(
         params.get("height"),
         params.get("type", "width"),
         params.get("gravity", "center"),
+        params.get("interpolation", "area"),
     )
     text = sharpen_expr(
         text, params.get("sharpen_amount", 0), params.get("sharpen_radius", 0)

@@ -49,8 +49,37 @@ GRAVITY_POS = {
 
 #: Normalization strategies (interpolation analog; the reference's
 #: misspelled ``lanczon4`` is preserved for spec fidelity,
-#: reference: src/models/resize.cpp:202-216).
+#: reference: src/models/resize.cpp:202-216).  Each of the 6 modes maps
+#: to a genuinely different boundary-rendering policy — the text-domain
+#: analog of the resampling kernel: how content at the crop/pad boundary
+#: is treated when the length changes.
+#:
+#: ===============  =========================  ==========================
+#: mode             truncation (per cut side)  padding fill
+#: ===============  =========================  ==========================
+#: area (default)   hard cut                   spaces        (plain — the
+#:                                             reference's INTER_AREA
+#:                                             default, resize.cpp:66)
+#: nearest          hard cut                   nearest edge char
+#:                                             replicated  (NN replicate)
+#: linear           outermost char → '.'       spaces
+#: linear_exact     outermost char → '.'       '_' (visible-exact pad)
+#: cubic            3 outermost chars → '...'  spaces
+#: lanczon4         3 outermost chars → '...'  edge char replicated
+#:                                             (widest kernel: both)
+#: ===============  =========================  ==========================
 INTERPOLATIONS = {"nearest", "linear", "cubic", "area", "lanczon4", "linear_exact"}
+
+#: ellipsis dots replacing the outermost chars of each *cut* side
+INTERP_TRUNC_DOTS = {
+    "area": 0, "nearest": 0, "linear": 1, "linear_exact": 1,
+    "cubic": 3, "lanczon4": 3,
+}
+#: padding policy: "space" | "edge" (replicate nearest edge char) | "_"
+INTERP_PAD = {
+    "area": "space", "linear": "space", "cubic": "space",
+    "nearest": "edge", "lanczon4": "edge", "linear_exact": "_",
+}
 
 RESIZE_TYPES = {"width", "height", "square", "fill"}
 WATERMARK_TYPES = {"standard", "adaptive"}
@@ -74,15 +103,19 @@ def pre_filter_text(text: str) -> str:
     return " ".join(text.split())
 
 
-def _crop_pad(text: str, target: int, pos: str) -> str:
-    """Extract exactly ``target`` chars positioned by ``pos``; pad with
-    spaces on the side opposite the gravity when shorter.
+def _crop_pad(text: str, target: int, pos: str, interp: str = "area") -> str:
+    """Extract exactly ``target`` chars positioned by ``pos``; pad on the
+    side opposite the gravity when shorter.  ``interp`` selects the
+    boundary-rendering policy (see INTERP_TRUNC_DOTS / INTERP_PAD —
+    the resampling-kernel analog, reference: src/models/resize.cpp:202-216).
 
     Offset formula is the 1-D transposition of the reference's 9-way crop
     table (src/models/resize.cpp:561-598): left→0, center→round((n-t)/2),
     right→n-t.
     """
     n = len(text)
+    d = INTERP_TRUNC_DOTS[interp]
+    pad_mode = INTERP_PAD[interp]
     if n >= target:
         if pos == "left":
             off = 0
@@ -90,14 +123,29 @@ def _crop_pad(text: str, target: int, pos: str) -> str:
             off = n - target
         else:
             off = _round_half_up((n - target) / 2.0)
-        return text[off : off + target]
+        core = text[off : off + target]
+        # ellipsis on each side that actually cut content
+        left_dots = min(d, target) if off > 0 else 0
+        right_dots = min(d, target - left_dots) if (n - target - off) > 0 else 0
+        return (
+            "." * left_dots
+            + core[left_dots : target - right_dots]
+            + "." * right_dots
+        )
     pad = target - n
+    if pad_mode == "edge":
+        lc = text[0] if text else " "
+        rc = text[-1] if text else " "
+    elif pad_mode == "_":
+        lc = rc = "_"
+    else:
+        lc = rc = " "
     if pos == "left":
-        return text + " " * pad
+        return text + rc * pad
     if pos == "right":
-        return " " * pad + text
+        return lc * pad + text
     left = pad // 2
-    return " " * left + text + " " * (pad - left)
+    return lc * left + text + rc * (pad - left)
 
 
 def normalize_geometry(
@@ -106,6 +154,7 @@ def normalize_geometry(
     height: int | None,
     type_: str,
     gravity: str = "center",
+    interp: str = "area",
 ) -> str:
     """The four resize algorithms transposed to text length budgets.
 
@@ -122,14 +171,14 @@ def normalize_geometry(
     """
     if type_ == "width":
         target = width if height is None else min(width, height)
-        return _crop_pad(text, target, "left")
+        return _crop_pad(text, target, "left", interp)
     if type_ == "height":
         target = height if width is None else min(height, width)
-        return _crop_pad(text, target, "left")
+        return _crop_pad(text, target, "left", interp)
     if type_ == "square":
-        return _crop_pad(text, width, "center")
+        return _crop_pad(text, width, "center", interp)
     if type_ == "fill":
-        return _crop_pad(text, width, GRAVITY_POS[gravity.lower()])
+        return _crop_pad(text, width, GRAVITY_POS[gravity.lower()], interp)
     raise ValueError(f"unknown resize type: {type_}")
 
 
@@ -184,6 +233,7 @@ def normalize_full(
     height: int | None = None,
     type_: str = "width",
     gravity: str = "center",
+    interp: str = "area",
     pre_filter: bool = False,
     sharpen_amount: float = 0.0,
     sharpen_radius: float = 0.0,
@@ -199,7 +249,7 @@ def normalize_full(
     """
     if pre_filter:
         text = pre_filter_text(text)
-    text = normalize_geometry(text, width, height, type_, gravity)
+    text = normalize_geometry(text, width, height, type_, gravity, interp)
     text = sharpen_text(text, sharpen_amount, sharpen_radius)
     if watermark_mark:
         text = watermark_text_op(

@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from arion_spark import oracle as oracle_mod
 from arion_spark.functions import dedup, similarity, text as txt
 from arion_spark.operators import fingerprint as op_fp
 from arion_spark.operators import normalize as op_norm
@@ -251,6 +252,109 @@ SELECT conv_id, turn_idx,
   {_d_fill_left('text', 24)} AS fill_sw_24,
   {_d_fill_center('text', 16)} AS square_16,
   {_d_fill_left('text', 20)} AS width_20
+FROM transcripts
+"""
+
+
+def _d_interp(c: str, t: int, mode: str, pos: str) -> str:
+    """DuckDB mirror of oracle._crop_pad with interpolation policy
+    (boundary rendering: ellipsis dots on cut sides + pad fill char)."""
+    from arion_spark import oracle as _o
+
+    d = _o.INTERP_TRUNC_DOTS[mode]
+    pad_mode = _o.INTERP_PAD[mode]
+    n = f"length({c})"
+    if pos == "left":
+        off = "0"
+    elif pos == "right":
+        off = f"({n} - {t})"
+    else:
+        off = f"cast(floor(({n} - {t} + 1) / 2) AS INT)"
+    core = f"substr({c}, {off} + 1, {t})"
+
+    if d == 0:
+        trunc = core
+    elif pos == "left":
+        R = min(d, t)
+        trunc = (
+            f"CASE WHEN {n} = {t} THEN {c} "
+            f"ELSE substr({core}, 1, {t - R}) || repeat('.', {R}) END"
+        )
+    elif pos == "right":
+        L = min(d, t)
+        trunc = (
+            f"CASE WHEN {n} = {t} THEN {c} "
+            f"ELSE repeat('.', {L}) || substr({core}, {L + 1}, {t - L}) END"
+        )
+    else:
+        L = min(d, t)
+        R = min(d, t - L)
+        trunc = (
+            f"CASE WHEN {n} = {t} THEN {c} "
+            f"ELSE repeat('.', {L}) || "
+            f"CASE WHEN ({n} - {t} - {off}) > 0 "
+            f"THEN substr({core}, {L + 1}, {t - L - R}) || repeat('.', {R}) "
+            f"ELSE substr({core}, {L + 1}, {t - L}) END END"
+        )
+
+    if pad_mode == "edge":
+        lc = f"CASE WHEN {n} = 0 THEN ' ' ELSE substr({c}, 1, 1) END"
+        rc = f"CASE WHEN {n} = 0 THEN ' ' ELSE substr({c}, {n}, 1) END"
+    elif pad_mode == "_":
+        lc = rc = "'_'"
+    else:
+        lc = rc = "' '"
+    if pos == "left":
+        padded = f"{c} || repeat({rc}, {t} - {n})"
+    elif pos == "right":
+        padded = f"repeat({lc}, {t} - {n}) || {c}"
+    else:
+        half = f"cast(floor(({t} - {n}) / 2) AS INT)"
+        padded = f"repeat({lc}, {half}) || {c} || repeat({rc}, {t} - {n} - {half})"
+
+    return f"CASE WHEN {n} >= {t} THEN ({trunc}) ELSE ({padded}) END"
+
+
+def q_normalize_interp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 interpolation semantics: all 6 named modes produce distinct
+    boundary renderings (reference mode table: src/models/resize.cpp:202-216).
+    Covers truncation (width 24 < most texts), the overlapping-ellipsis
+    edge (width 4 < 2·3 dots), and the padding regime (width 220)."""
+    t = transcripts_from_events(spark, sf_dir)
+    c = F.col("text")
+    cols = [
+        op_norm.geometry_expr(c, 24, None, "fill", "center", m).alias(f"c24_{m}")
+        for m in sorted(oracle_mod.INTERPOLATIONS)
+    ]
+    cols += [
+        op_norm.geometry_expr(c, 4, None, "fill", "center", "cubic").alias("c4_cubic"),
+        op_norm.geometry_expr(c, 24, None, "fill", "ne", "cubic").alias("ne24_cubic"),
+        op_norm.geometry_expr(c, 220, None, "fill", "center", "nearest").alias(
+            "p220_nearest"
+        ),
+        op_norm.geometry_expr(c, 220, None, "fill", "sw", "linear_exact").alias(
+            "p220_linear_exact"
+        ),
+        op_norm.geometry_expr(c, 220, None, "fill", "e", "lanczon4").alias(
+            "p220_lanczon4"
+        ),
+    ]
+    return t.select("conv_id", "turn_idx", *cols)
+
+
+def _sql_normalize_interp_grid() -> str:
+    mode_cols = ",\n  ".join(
+        f"{_d_interp('text', 24, m, 'center')} AS c24_{m}"
+        for m in sorted(oracle_mod.INTERPOLATIONS)
+    )
+    return f"""{_T}
+SELECT conv_id, turn_idx,
+  {mode_cols},
+  {_d_interp('text', 4, 'cubic', 'center')} AS c4_cubic,
+  {_d_interp('text', 24, 'cubic', 'right')} AS ne24_cubic,
+  {_d_interp('text', 220, 'nearest', 'center')} AS p220_nearest,
+  {_d_interp('text', 220, 'linear_exact', 'left')} AS p220_linear_exact,
+  {_d_interp('text', 220, 'lanczon4', 'right')} AS p220_lanczon4
 FROM transcripts
 """
 
@@ -913,6 +1017,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("read_meta_full", q_read_meta_full, _SQL_READ_META_FULL),
     ("chain_write_meta", q_chain_write_meta, _SQL_CHAIN_WRITE_META),
     ("normalize_grid", q_normalize_grid, _SQL_NORMALIZE_GRID),
+    ("normalize_interp_grid", q_normalize_interp_grid, _sql_normalize_interp_grid()),
     ("fingerprint_conv", q_fingerprint_conv, _SQL_FINGERPRINT_CONV),
     ("fingerprint_rolling", q_fingerprint_rolling, _SQL_FINGERPRINT_ROLLING),
     ("sessionize", q_sessionize, _SQL_SESSIONIZE),

@@ -38,6 +38,9 @@ _SETTINGS = dict(
 )
 
 
+INTERPS = sorted(oracle.INTERPOLATIONS)
+
+
 @settings(**_SETTINGS)
 @given(
     rows=st.lists(
@@ -46,6 +49,7 @@ _SETTINGS = dict(
             st.integers(1, 40),
             st.sampled_from(TYPES),
             st.sampled_from(GRAVITIES),
+            st.sampled_from(INTERPS),
         ),
         min_size=1,
         max_size=25,
@@ -53,21 +57,21 @@ _SETTINGS = dict(
 )
 def test_geometry_expr_matches_oracle(spark, rows):
     df = spark.createDataFrame(
-        [(i, t, w, ty, g) for i, (t, w, ty, g) in enumerate(rows)],
-        "i long, text string, w int, ty string, g string",
+        [(i, t) for i, (t, w, ty, g, ip) in enumerate(rows)],
+        "i long, text string",
     )
     def args(w, ty):
         # the spec requires the size on the axis the type scales by
         return (None, w) if ty == "height" else (w, None)
 
     cols = [
-        op_norm.geometry_expr(F.col("text"), *args(w, ty), ty, g).alias(f"out_{i}")
-        for i, (t, w, ty, g) in enumerate(rows)
+        op_norm.geometry_expr(F.col("text"), *args(w, ty), ty, g, ip).alias(f"out_{i}")
+        for i, (t, w, ty, g, ip) in enumerate(rows)
     ]
     got = {r["i"]: r for r in df.select("i", *cols).collect()}
-    for i, (t, w, ty, g) in enumerate(rows):
-        want = oracle.normalize_geometry(t, *args(w, ty), ty, g)
-        assert got[i][f"out_{i}"] == want, (i, t, w, ty, g)
+    for i, (t, w, ty, g, ip) in enumerate(rows):
+        want = oracle.normalize_geometry(t, *args(w, ty), ty, g, ip)
+        assert got[i][f"out_{i}"] == want, (i, t, w, ty, g, ip)
 
 
 @settings(**_SETTINGS)
