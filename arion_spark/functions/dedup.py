@@ -161,7 +161,26 @@ def prepare_dedup_corpus(
         .withColumn("minhash", minhash_from_hashes(F.col("_mh_hs")))
         .drop("_mh_hs")
     )
-    return prep.persist()
+    return _persist_scoped(prep)
+
+
+#: the most recent persisted prep — unpersisted when the next one is
+#: created, so repeated query invocations in one long-lived session
+#: (e.g. the bench loop) hold at most ONE cached corpus, not an
+#: unbounded accumulation.  Callers needing explicit lifetime control
+#: can .unpersist() the returned DataFrame themselves.
+_LAST_PREP: list = []
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    while _LAST_PREP:
+        try:
+            _LAST_PREP.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    out = df.persist()
+    _LAST_PREP.append(out)
+    return out
 
 
 def lsh_candidate_pairs(

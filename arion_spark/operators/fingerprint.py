@@ -64,7 +64,12 @@ def conversation(
     pairs = F.collect_list(
         F.struct(F.col(order_col).alias("i"), turn_md5_col(F.col(text_col)).alias("m"))
     )
-    ordered = F.transform(F.array_sort(pairs), lambda s: s.getField("m"))
+    # null-text contract (shared with rolling() and the streaming twin):
+    # null turns are skipped by the fold — filter AFTER the order sort
+    ordered = F.filter(
+        F.transform(F.array_sort(pairs), lambda s: s.getField("m")),
+        lambda m: m.isNotNull(),
+    )
     return df.groupBy(conv_col).agg(
         F.count("*").cast("int").alias("n_turns"),
         _fold(ordered).alias(out_col),
@@ -110,17 +115,20 @@ def rolling(
     conv_c, order_c, text_c = conv_col, order_col, text_col
 
     def fold_partition(batches) -> "pd.DataFrame":
+        # null-text contract (shared with conversation() and the
+        # streaming twin): a null-text turn gets NULL conv_fp and is
+        # skipped by the fold — the accumulator carries on unchanged.
         cur_key, fp = object(), ""
         for pdf in batches:
             fps = []
             for key, t in zip(pdf[conv_c], pdf[text_c]):
                 if key != cur_key:
                     cur_key, fp = key, ""
-                if fp is None or t is None:
-                    fp = None
-                else:
-                    m = hashlib.md5(t.encode("utf-8")).hexdigest()
-                    fp = hashlib.md5((fp + m).encode("ascii")).hexdigest()
+                if t is None:
+                    fps.append(None)
+                    continue
+                m = hashlib.md5(t.encode("utf-8")).hexdigest()
+                fp = hashlib.md5((fp + m).encode("ascii")).hexdigest()
                 fps.append(fp)
             pdf[out_col] = fps
             yield pdf

@@ -49,6 +49,45 @@ def apply_stateless_chain(df: DataFrame, spec: PipelineSpec) -> DataFrame:
     return df
 
 
+def _check_state_layout(checkpoint_dir: str, n_buckets: int) -> None:
+    """Refuse to resume a checkpoint written under a different state
+    layout.
+
+    The bucketed layout changes the stateful operator's grouping key
+    (``_bucket`` vs ``conv_id``) and state schema (pickled blob vs
+    struct); Spark would fail state-schema validation with an opaque
+    error — or worse, silently mis-key.  A layout marker is written next
+    to the checkpoint on first start; a mismatch on restart raises with
+    an actionable message (bucketed-mode changes require a fresh
+    checkpoint)."""
+    import json
+    import os
+
+    marker = os.path.join(checkpoint_dir, "_arion_state_layout.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            recorded = json.load(f).get("n_buckets")
+        if recorded != n_buckets:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was written with state layout "
+                f"n_buckets={recorded}, but this run requests n_buckets="
+                f"{n_buckets}. The state schema/grouping key differ between "
+                "layouts; restart with the original n_buckets or use a "
+                "fresh checkpoint directory."
+            )
+        return
+    if os.path.isdir(os.path.join(checkpoint_dir, "offsets")):
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} predates state-layout markers; "
+            "cannot verify its n_buckets layout. Pass the layout it was "
+            "created with explicitly after writing the marker, or use a "
+            "fresh checkpoint directory."
+        )
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
 def run_stream_pipeline(
     spark: SparkSession,
     spec: dict | str | PipelineSpec,
@@ -71,6 +110,7 @@ def run_stream_pipeline(
     ``n_buckets = 0`` keeps one state key per conversation."""
     if not isinstance(spec, PipelineSpec):
         spec = parse_spec(spec)
+    _check_state_layout(checkpoint_dir, n_buckets)
     stream = read_replay_stream(spark, replay_dir, max_files_per_trigger)
     if n_buckets:
         folded = ordered_fold_stream_bucketed(

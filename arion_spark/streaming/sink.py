@@ -26,7 +26,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 KEYS = ("conv_id", "turn_idx")
@@ -113,21 +113,32 @@ class MergeSink:
         return out
 
     def read_merged(self, spark: SparkSession) -> DataFrame:
-        """Committed-only, key-deduped view (upsert: latest batch wins)."""
+        """Committed-only, key-deduped view (upsert: latest batch wins).
+
+        ONE partitioned scan of ``data/`` with ``batch`` as a partition
+        column (an in-filter over committed ids Spark prunes at the
+        directory level), then one ``max_by(payload, batch)`` aggregation
+        — partial map-side, no per-key sort.  The previous shape (one
+        union leg per committed batch + a global window) made the PLAN
+        grow with batch count: at thousands of micro-batches, analysis
+        and the unioned sort dominated the read."""
         commits = self.committed_batches()
         if not commits:
             raise FileNotFoundError(f"no committed batches in {self.table_dir}")
-        dfs = None
-        for c in commits:
-            d = spark.read.parquet(c["data_dir"]).withColumn(
-                "_batch_id", F.lit(c["batch_id"])
-            )
-            dfs = d if dfs is None else dfs.unionByName(d)
-        w = Window.partitionBy(*self.keys).orderBy(F.desc("_batch_id"))
+        ids = [int(c["batch_id"]) for c in commits]
+        df = spark.read.option("basePath", f"{self.table_dir}/data").parquet(
+            f"{self.table_dir}/data"
+        )
+        df = df.where(F.col("batch").cast("long").isin(ids))
+        payload = [c for c in df.columns if c != "batch"]
         return (
-            dfs.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_batch_id")
+            df.groupBy(*[F.col(k) for k in self.keys])
+            .agg(
+                F.max_by(
+                    F.struct(*payload), F.col("batch").cast("long")
+                ).alias("_r")
+            )
+            .select("_r.*")
         )
 
     def lineage(self) -> list[dict]:

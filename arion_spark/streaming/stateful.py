@@ -66,7 +66,12 @@ def _emit_ready(
     buf: dict[int, tuple],
     flush: bool,
 ) -> tuple[int, str, list[tuple]]:
-    """Fold every contiguously-ready turn (or everything, if flushing)."""
+    """Fold every contiguously-ready turn (or everything, if flushing).
+
+    Null-text contract (shared with the batch twins, see
+    operators.fingerprint): a null-text turn emits NULL turn_md5/conv_fp
+    and is SKIPPED by the fold — the accumulator is unchanged, later
+    turns fold as if the null turn were absent."""
     out = []
     for idx in sorted(buf):
         if not flush and idx != next_idx:
@@ -76,8 +81,11 @@ def _emit_ready(
                 continue
             break
         role, text, tool, ts = buf[idx]
-        fp, m = _fold_step(fp, text)
-        out.append((idx, role, text, tool, ts, m, fp))
+        if text is None:
+            out.append((idx, role, None, tool, ts, None, None))
+        else:
+            fp, m = _fold_step(fp, text)
+            out.append((idx, role, text, tool, ts, m, fp))
         next_idx = idx + 1
     for idx, *_ in out:
         buf.pop(idx, None)
@@ -288,6 +296,12 @@ def _bucket_processor(session_gap_ms: int):
                     if ti == st[0] and not st[2]:
                         # fast path: in-order arrival, empty buffer → fold now
                         text = text_l[i]
+                        if text is None:
+                            # null-text contract: NULL md5/fp, fold skips
+                            st[0] = ti + 1
+                            emit(cid, ti, role_l[i], None, tool_l[i], t_ms,
+                                 None, None, False)
+                            continue
                         m = m_l[i]
                         if m is None:
                             m = md5(text.encode("utf-8")).hexdigest()

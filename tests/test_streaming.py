@@ -170,6 +170,104 @@ def test_sink_upsert_latest_batch_wins(spark, tmp_path):
     assert len(rows) == 1 and rows[0].text == "new"
 
 
+def test_sink_many_batches_single_scan(spark, tmp_path):
+    """64+ committed micro-batches: read_merged stays a single
+    partitioned scan + one aggregation (plan must NOT grow with batch
+    count) and still returns latest-batch-wins per key."""
+    sink = MergeSink(str(tmp_path / "tbl64"), stats="minimal")
+    for b in range(70):
+        # key (c{b%7}, 0) is rewritten every 7th batch; unique key per batch too
+        rows = [
+            _row(f"c{b % 7}", 0, 0, text=f"v{b}"),
+            _row(f"u{b}", 1, 0, text=f"only-{b}"),
+        ]
+        sink.process(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), b)
+    merged = sink.read_merged(spark)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and "Window" not in plan
+    got = {(r.conv_id, r.turn_idx): r.text for r in merged.collect()}
+    assert len(got) == 7 + 70
+    for k in range(7):
+        latest = max(b for b in range(70) if b % 7 == k)
+        assert got[(f"c{k}", 0)] == f"v{latest}"
+
+
+def test_checkpoint_layout_mismatch_refused(spark, transcripts_df, tmp_path):
+    """Restarting a checkpoint under a different state layout must fail
+    fast with an actionable error, not an opaque state-schema crash."""
+    import pytest
+
+    from arion_spark.streaming.pipeline import run_stream_pipeline
+    from arion_spark.streaming.source import write_replay_chunks
+
+    spec = {"operations": [{"type": "fingerprint", "params": {}}]}
+    replay = str(tmp_path / "replay")
+    write_replay_chunks(transcripts_df, replay, n_chunks=1, files_per_chunk=1)
+    q, sink = run_stream_pipeline(
+        spark, spec, replay, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        n_buckets=8,
+    )
+    q.processAllAvailable()
+    q.stop()
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        run_stream_pipeline(
+            spark, spec, replay, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            n_buckets=0,
+        )
+
+
+def test_null_text_contract_consistent_across_surfaces(spark, tmp_path):
+    """Null-text turns: NULL turn_md5/conv_fp for that row, fold skips it
+    — identical in batch rolling, batch conversation, and the streaming
+    twin (previously three divergent behaviors)."""
+    import hashlib
+
+    from arion_spark.operators import fingerprint as op_fp
+    from arion_spark.streaming.pipeline import run_stream_pipeline
+    from arion_spark.streaming.source import write_replay_chunks
+
+    rows = [
+        _row("c1", 0, 0, text="alpha"),
+        ("c1", 1, "user", None, None, T0 + timedelta(minutes=10)),  # null text
+        _row("c1", 2, 20, text="beta"),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+    fp0 = hashlib.md5(
+        ("" + hashlib.md5(b"alpha").hexdigest()).encode()
+    ).hexdigest()
+    fp2 = hashlib.md5(
+        (fp0 + hashlib.md5(b"beta").hexdigest()).encode()
+    ).hexdigest()
+
+    roll = {r.turn_idx: r.conv_fp for r in op_fp.rolling(df).collect()}
+    assert roll == {0: fp0, 1: None, 2: fp2}
+
+    conv = op_fp.conversation(df).collect()[0]
+    assert conv.conv_fp == fp2 and conv.n_turns == 3
+
+    replay = str(tmp_path / "nulls")
+    write_replay_chunks(df, replay, n_chunks=1, files_per_chunk=1)
+    for nb, tag in ((0, "perkey"), (8, "bucketed")):
+        q, sink = run_stream_pipeline(
+            spark,
+            {"operations": [{"type": "fingerprint", "params": {}}]},
+            replay,
+            str(tmp_path / f"out_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            n_buckets=nb,
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.turn_idx: (r.turn_md5, r.conv_fp)
+            for r in sink.read_merged(spark).collect()
+        }
+        assert got[0] == (hashlib.md5(b"alpha").hexdigest(), fp0), tag
+        assert got[1] == (None, None), tag
+        assert got[2] == (hashlib.md5(b"beta").hexdigest(), fp2), tag
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     from arion_spark.streaming.join import user_response_join
 
