@@ -134,16 +134,87 @@ def watermark_udf(
 ):
     """Arrow-vectorized watermark overlay — the one sub-transform that is
     data-dependent per character position (reference adaptive blend:
-    src/models/resize.cpp:880-896) and so runs in a pandas UDF."""
+    src/models/resize.cpp:880-896) and so runs in a pandas UDF.
+
+    Body is vectorized (bit-for-bit equal to
+    ``oracle.watermark_text_op``, enforced by property tests):
+
+    * ``standard`` + all-ASCII batch (the common case): ONE numpy pass —
+      the whole Arrow batch is joined, overlay positions for every row
+      are computed as one fancy-index assignment over a uint8 view, and
+      rows are re-sliced from the decoded result.  Measured 2.4× over
+      the previous per-character ``Series.map`` body at period 10
+      (utf-32 variants were tried and are *slower* — the 4-byte
+      round-trip costs more than it saves; see BASELINE.md).
+    * non-ASCII / ``adaptive``: per-row slice render (substring spans
+      between marks instead of a per-character list rebuild).
+    """
+    import math
+
+    import numpy as np
+
+    m_len = len(mark)
+    try:
+        _mark_b: np.ndarray | None = np.frombuffer(
+            mark.encode("ascii"), dtype=np.uint8
+        )
+    except UnicodeEncodeError:
+        _mark_b = None
+
+    def _render(t: str, period: int) -> str:
+        # overlay mark chars at positions 0, T, 2T... via slices
+        parts = []
+        for k, p in enumerate(range(0, len(t), period)):
+            parts.append(mark[k % m_len])
+            parts.append(t[p + 1 : p + period])
+        return "".join(parts)
+
+    def _render_batch_ascii(texts: list[str], buf: bytes, period: int) -> list[str]:
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        a = np.frombuffer(buf, dtype=np.uint8).copy()
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        counts = (lens + period - 1) // period
+        row_of = np.repeat(np.arange(len(texts)), counts)
+        k_in_row = np.arange(int(counts.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        idx = starts[row_of] + k_in_row * period
+        a[idx] = _mark_b[k_in_row % m_len]
+        out = a.tobytes().decode("ascii")
+        return [out[s : s + n] for s, n in zip(starts, lens)]
 
     @F.pandas_udf(T.StringType())
     def _wm(s: pd.Series) -> pd.Series:
+        if wm_type == "adaptive":
+
+            def one(t: str) -> str:
+                if not t:
+                    return t
+                brightness = sum(map(str.isalnum, t)) / len(t)
+                blend = (max_amount - min_amount) * math.log10(
+                    1 + 9 * brightness
+                ) + min_amount
+                if blend <= 0:
+                    return t
+                return _render(t, max(1, math.floor(1.0 / blend + 0.5)))
+
+            return s.map(one, na_action="ignore")
+        if amount <= 0:
+            return s
+        period = max(1, math.floor(1.0 / amount + 0.5))
+        vals = s.tolist()
+        texts = [t for t in vals if t]
+        if _mark_b is not None and texts:
+            big = "".join(texts)
+            buf = big.encode("utf-8")
+            if len(buf) == len(big):  # all-ASCII batch → single numpy pass
+                rendered = iter(_render_batch_ascii(texts, buf, period))
+                return pd.Series(
+                    [next(rendered) if t else t for t in vals], index=s.index
+                )
         return s.map(
-            lambda t: oracle.watermark_text_op(
-                t, mark, wm_type, amount, min_amount, max_amount
-            )
-            if t is not None
-            else None
+            lambda t: _render(t, period) if t else t, na_action="ignore"
         )
 
     return _wm

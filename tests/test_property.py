@@ -75,6 +75,30 @@ def test_geometry_expr_matches_oracle(spark, rows):
 
 
 @settings(**_SETTINGS)
+@given(
+    texts=st.lists(TEXT, min_size=1, max_size=20),
+    mark=st.text(
+        alphabet=st.characters(codec="utf-8", categories=("L", "N", "P")),
+        min_size=1,
+        max_size=3,
+    ),
+    wm_type=st.sampled_from(["standard", "adaptive"]),
+    amount=st.floats(0.01, 1.0),
+    bounds=st.tuples(st.floats(0.0, 0.5), st.floats(0.5, 1.0)),
+)
+def test_watermark_udf_matches_oracle(spark, texts, mark, wm_type, amount, bounds):
+    mn, mx = bounds
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    wm = op_norm.watermark_udf(mark, wm_type, amount, mn, mx)
+    got = {r.i: r.out for r in df.select("i", wm(F.col("text")).alias("out")).collect()}
+    for i, t in enumerate(texts):
+        want = oracle.watermark_text_op(t, mark, wm_type, amount, mn, mx)
+        assert got[i] == want, (i, t, mark, wm_type, amount, mn, mx)
+
+
+@settings(**_SETTINGS)
 @given(texts=st.lists(TEXT, min_size=1, max_size=30))
 def test_conversation_fold_matches_python(spark, texts):
     rows = [("c", i, t) for i, t in enumerate(texts)]
