@@ -39,7 +39,9 @@ BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
 #: oracle-backed operator queries that form the headline batch suite
 HEADLINE = [
     "chain_flagship",
+    "read_meta_full",
     "normalize_grid",
+    "normalize_interp_grid",
     "fingerprint_conv",
     "fingerprint_rolling",
     "sessionize",
@@ -51,6 +53,7 @@ HEADLINE = [
     "minhash_signatures",
     "lsh_dup_pairs",
     "jaccard_near_dups",
+    "cosine_near_dup",
     "ann_topk",
 ]
 
