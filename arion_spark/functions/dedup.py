@@ -250,6 +250,71 @@ def jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold) if threshold else j
 
 
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup cluster resolution: label every vertex with the MIN id
+    reachable through the pair graph (cluster_id), plus
+    ``is_canonical`` — the keep-one-per-cluster decision of a dedup
+    pipeline.  Isolated docs form singleton clusters.
+
+    Algorithm: iterative min-label propagation —
+    ``label_v ← min(label_v, min over neighbors u of label_u)`` until a
+    fixpoint; iterations = graph diameter (near-dup components are
+    shallow: a handful of hops).  Each round is one equi-join + one
+    map-side-combinable min aggregation; labels are persisted per round
+    and the previous round unpersisted, so the plan stays constant-size
+    (no lineage blow-up).  This is the standard large-graph CC shape —
+    at 10^10 vertices swap the driver-side convergence count for an
+    accumulator, nothing else changes.
+
+    Deterministic: min() is order-insensitive, so the fixpoint is unique
+    regardless of execution order — the DuckDB recursive-CTE oracle
+    reaches the identical labeling.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).persist()
+    labels.count()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash: bit b = sign of Σ_tokens (bit_b(md5(token)) ? 1 : -1).
 

@@ -143,6 +143,80 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means → (cell_id, cent).
+
+    * init: first ``k`` corpus vectors by id (deterministic seed);
+    * each iteration: cosine-assign every vector to its best centroid
+      (broadcast join + one row_number window), then recompute centroids
+      as the per-cell per-dimension mean via posexplode → groupBy(cell,
+      dim).avg → re-collect (two shuffles per iter; at 10^10 vectors the
+      update is a treeAggregate of running (sum, count) pairs — same
+      math, fewer shuffles).
+    * determinism across engines/runs: float summation order varies, so
+      centroids are rounded to ``round_digits`` each iteration — enough
+      to absorb last-ulp reorder noise, tight enough to keep real
+      assignment geometry;
+    * an emptied cell keeps its previous centroid (coalesce), mirroring
+      the SQL oracle.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .cast("long")
+            .alias("cell_id"),
+            F.col(vec_col).alias("cent"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(corpus, cents, id_col, vec_col)
+        new = (
+            assigned.select("cell_id", F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("cell_id", "dim")
+            .agg(F.round(F.avg("val"), round_digits).alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("new_cent")
+            )
+        )
+        cents = cents.join(new, "cell_id", "left").select(
+            "cell_id", F.coalesce("new_cent", "cent").alias("cent")
+        )
+    return cents
+
+
+def _assign_cells(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid (max cosine, ties → lowest cell_id) assignment:
+    map-only against a broadcast centroid table + one per-id top-1."""
+    scored = df.join(F.broadcast(cents)).select(
+        df[id_col],
+        df[vec_col],
+        F.col("cell_id"),
+        cosine(df[vec_col], F.col("cent")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,6 +224,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize every vector to its
     nearest "centroid", then search only the query's cell.
@@ -164,31 +239,17 @@ def ivf_topk(
     per-query top-k is one window over k·|cell| candidates.
     """
     cents = (
-        corpus.orderBy(id_col)
+        centroids
+        if centroids is not None
+        else corpus.orderBy(id_col)
         .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent")
-        )
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent"))
     )
 
-    def assign(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).select(
-            df[idc],
-            df[vecc],
-            F.col("cell_id"),
-            cosine(df[vecc], F.col("cent")).alias("_sim"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("_sim"), F.asc("cell_id"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_sim")
-        )
-
-    cb = assign(corpus, id_col, vec_col).select(
+    cb = _assign_cells(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
     )
-    qb = assign(queries, id_col, vec_col).select(
+    qb = _assign_cells(queries, cents, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell_id"
     )
     scored = (

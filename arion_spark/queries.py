@@ -750,6 +750,127 @@ FROM j WHERE round(inter / (na + nb - inter), 4) >= 0.5
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: LSH→Jaccard pairs → connected
+    components → canonical-doc selection (the keep-one-per-cluster
+    decision of a dedup pipeline).  Spark: iterative min-label
+    propagation; oracle: recursive-CTE reachability — both converge to
+    the unique min-id fixpoint."""
+    prep = dedup.prepare_dedup_corpus(_near_dup_corpus_spark(spark, sf_dir))
+    pairs = dedup.lsh_candidate_pairs(None, prepared=prep)
+    jp = dedup.jaccard_pairs(None, pairs, threshold=0.5, prepared=prep)
+    vertices = _near_dup_corpus_spark(spark, sf_dir).select("doc_id")
+    return dedup.connected_components(vertices, jp.select("id_a", "id_b"))
+
+
+_SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_D_NEAR_DUP_CORPUS},
+tok AS (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM corpus),
+sh AS (SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM tok),
+hsh AS (SELECT doc_id, {_D_SHINGLE_HASHES.format(sh='shingles')} AS hs FROM sh),
+sig AS (SELECT doc_id, {_d_minhash_sig('hs')} AS s FROM hsh),
+buckets AS (
+  SELECT doc_id, {_D_LSH_BUCKETS} AS bucket FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b USING (bucket)
+  WHERE a.doc_id < b.doc_id),
+jp AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE round(cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL SELECT id_b, id_a FROM jp),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+def q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL (deterministic, 2-iteration Lloyd) coarse
+    quantizer instead of first-N centroids — the trained-quantizer path
+    of the ANN surface."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = similarity.kmeans_centroids(e, k=4, iters=2)
+    return similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 8), k=5, centroids=cents
+    )
+
+
+def _sql_ivf_kmeans_ann(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations in SQL mirroring kmeans_centroids."""
+    assign = (
+        "SELECT vec_id, v, cell_id FROM ("
+        "SELECT e.vec_id, e.v, c.cell_id, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        + _D_COS.format(a="e.v", b="c.cent")
+        + " DESC, c.cell_id) AS rn FROM e CROSS JOIN {cents} c) WHERE rn = 1"
+    )
+    steps = [
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS cent "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))"
+    ]
+    for it in range(iters):
+        steps.append(f"a{it} AS ({assign.format(cents=f'c{it}')})")
+        steps.append(
+            f"u{it} AS (SELECT cell_id, list(m ORDER BY dim) AS new_cent FROM ("
+            f"SELECT a.cell_id, t.dim, round(avg(a.v[t.dim]), 6) AS m "
+            f"FROM a{it} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS dim) t "
+            f"GROUP BY a.cell_id, t.dim) GROUP BY cell_id)"
+        )
+        steps.append(
+            f"c{it + 1} AS (SELECT c{it}.cell_id, "
+            f"coalesce(u{it}.new_cent, c{it}.cent) AS cent "
+            f"FROM c{it} LEFT JOIN u{it} USING (cell_id))"
+        )
+    final = f"c{iters}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{','.join(steps)},
+cells AS ({assign.format(cents=final)}),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    round({_D_COS.format(a='q.v', b='n.v')}, 3) AS score
+  FROM cells q JOIN cells n
+    ON q.cell_id = n.cell_id AND q.vec_id < 8 AND q.vec_id <> n.vec_id),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan surface: per-video sample timestamps
+    exploded JVM-side from metadata (decode itself stays in
+    extract_features)."""
+    from arion_spark.functions import multimodal
+
+    frames = multimodal.frame_sample(multimodal.synthetic_media(spark, 64), 500)
+    return frames.select("media_id", "frame_ts_ms")
+
+
+_SQL_FRAME_SAMPLE = """
+WITH ids AS (SELECT range::INT AS media_id FROM range(64)),
+v AS (SELECT media_id, 1000 + media_id AS duration FROM ids WHERE media_id % 3 = 2)
+SELECT media_id::BIGINT AS media_id,
+  unnest(generate_series(0, duration, 500))::INT AS frame_ts_ms
+FROM v
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1031,8 +1152,11 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("minhash_signatures", q_minhash_signatures, _SQL_MINHASH),
     ("lsh_dup_pairs", q_lsh_dup_pairs, _SQL_LSH_PAIRS),
     ("jaccard_near_dups", q_jaccard_near_dups, _SQL_JACCARD),
+    ("dup_clusters", q_dup_clusters, _SQL_DUP_CLUSTERS),
     ("ann_topk", q_ann_topk, _SQL_ANN_TOPK),
     ("ivf_ann", q_ivf_ann, _SQL_IVF_ANN),
+    ("ivf_kmeans_ann", q_ivf_kmeans_ann, _sql_ivf_kmeans_ann()),
+    ("frame_sample", q_frame_sample, _SQL_FRAME_SAMPLE),
     ("cosine_near_dup", q_cosine_near_dup, _sql_cosine_near_dup()),
     ("simhash_docs", q_simhash_docs, _SQL_SIMHASH),
     ("doc_fingerprints", q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),

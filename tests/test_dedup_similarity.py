@@ -180,6 +180,55 @@ def test_ivf_ann_matches_brute_force_within_cell(spark, vec_df):
         assert have == want, q
 
 
+def test_connected_components_labels(spark):
+    """Chain, triangle-free pair, singleton: every vertex labeled with
+    the min reachable id; canonical = cluster representative."""
+    from arion_spark.functions import dedup
+
+    verts = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # components: {0,1,2,3} (chain), {4,5}, {6} singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.connected_components(verts, pairs).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
+        4: (4, True), 5: (4, False), 6: (6, True),
+    }
+
+
+def test_kmeans_centroids_matches_numpy_lloyd(spark, vec_df):
+    """2 deterministic Lloyd iterations equal an independent numpy
+    implementation with the same init/rounding, and re-running gives
+    identical centroids (cross-run determinism)."""
+    got = {
+        r.cell_id: list(r.cent)
+        for r in similarity.kmeans_centroids(vec_df, k=3, iters=2).collect()
+    }
+    got2 = {
+        r.cell_id: list(r.cent)
+        for r in similarity.kmeans_centroids(vec_df, k=3, iters=2).collect()
+    }
+    assert got == got2
+
+    M = np.array([v for _, v in VECS])
+    cents = M[:3].copy()  # init: first k by id
+    for _ in range(2):
+        cn = cents / np.linalg.norm(cents, axis=1)[:, None]
+        vn = M / np.linalg.norm(M, axis=1)[:, None]
+        sims = vn @ cn.T
+        # ties → lowest cell: argmax picks first max
+        assign = sims.argmax(axis=1)
+        for c in range(3):
+            if (assign == c).any():
+                cents[c] = np.round(M[assign == c].mean(axis=0), 6)
+    for c in range(3):
+        assert np.allclose(got[c + 1], cents[c], atol=1e-9), c
+
+
 def test_cosine_near_dup_pairs(spark, vec_df):
     """Planted duplicate (vector 100 = vector 0) is found; threshold
     excludes unrelated pairs exactly as numpy says.  The banded-SRP
