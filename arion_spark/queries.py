@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from arion_spark import oracle as oracle_mod
 from arion_spark.functions import dedup, similarity, text as txt
+from arion_spark.operators import asof as op_asof
+from arion_spark.operators import cep as op_cep
 from arion_spark.operators import fingerprint as op_fp
+from arion_spark.operators import rollup as op_rollup
 from arion_spark.operators import normalize as op_norm
 from arion_spark.operators import read_meta as op_meta
 from arion_spark.transcripts import TRANSCRIPTS_SQL_DUCKDB, transcripts_from_events
@@ -1131,6 +1134,100 @@ FROM h
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each user turn picks up the most recent
+    assistant turn at-or-before it (1 h tolerance) via the union-merge
+    formulation — one shuffle, no range-join explosion (operators/asof.py)."""
+    t = transcripts_from_events(spark, sf_dir)
+    u = t.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    a = t.where(F.col("role") == "assistant").select("conv_id", "turn_idx", "ts")
+    j = op_asof.asof_join(
+        u, a, on="conv_id", ts="ts", ord_col="turn_idx",
+        payload_cols=("turn_idx",), tolerance_s=3600,
+    )
+    lag = F.col("ts").cast("timestamp").cast("double") - F.col("asof_ts").cast(
+        "timestamp"
+    ).cast("double")
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "asof_ts",
+        F.col("asof_turn_idx").cast("int").alias("asof_turn_idx"),
+        F.round(lag, 3).alias("lag_s"),
+    )
+
+
+_SQL_ASOF_JOIN = f"""{_T},
+u AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'user'),
+a AS (SELECT conv_id, turn_idx, ts FROM transcripts WHERE role = 'assistant'),
+m AS (
+  SELECT u.conv_id, u.turn_idx, u.ts, a.ts AS a_ts, a.turn_idx AS a_idx,
+    row_number() OVER (PARTITION BY u.conv_id, u.turn_idx
+                       ORDER BY a.ts DESC NULLS LAST, a.turn_idx DESC) AS rn
+  FROM u LEFT JOIN a
+    ON a.conv_id = u.conv_id AND a.ts <= u.ts
+   AND a.ts >= u.ts - INTERVAL 1 HOUR)
+SELECT conv_id, turn_idx, ts, a_ts AS asof_ts,
+  cast(a_idx AS INT) AS asof_turn_idx,
+  round(epoch(ts) - epoch(a_ts), 3) AS lag_s
+FROM m WHERE rn = 1
+"""
+
+
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE analog: maximal ``user → tool+ → assistant``
+    sequences per conversation (operators/cep.py), all-JVM window exprs."""
+    t = transcripts_from_events(spark, sf_dir)
+    m = op_cep.detect_user_tools_assistant(t)
+    return m.withColumn("latency_s", F.round("latency_s", 3))
+
+
+_SQL_CEP_PATTERN = f"""{_T}
+SELECT conv_id, turn_idx AS user_turn_idx, ts AS user_ts,
+  cast(nxt_idx - turn_idx - 1 AS INT) AS n_tools,
+  nxt_idx AS resp_turn_idx, nxt_ts AS resp_ts,
+  round(epoch(nxt_ts) - epoch(ts), 3) AS latency_s
+FROM (
+  SELECT conv_id, turn_idx, role, ts,
+    min(CASE WHEN role <> 'tool' THEN turn_idx END) OVER fol AS nxt_idx,
+    first_value(CASE WHEN role <> 'tool' THEN role END IGNORE NULLS)
+      OVER fol AS nxt_role,
+    first_value(CASE WHEN role <> 'tool' THEN ts END IGNORE NULLS)
+      OVER fol AS nxt_ts
+  FROM transcripts
+  WINDOW fol AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+WHERE role = 'user' AND nxt_role = 'assistant' AND nxt_idx > turn_idx + 1
+"""
+
+
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style minute→hour→day rollup; coarser grains
+    re-aggregate the finer aggregate, raw rows scanned once
+    (operators/rollup.py)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return op_rollup.cascade(t)
+
+
+def _sql_rollup_grain(unit: str) -> str:
+    return f"""
+  SELECT '{unit}' AS grain, date_trunc('{unit}', ts) AS bucket_ts,
+    cast(count(*) AS BIGINT) AS n_turns,
+    cast(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_user_turns,
+    cast(sum(length(text)) AS BIGINT) AS sum_chars,
+    cast(max(length(text)) AS INT) AS max_text_len
+  FROM transcripts GROUP BY 2"""
+
+
+_SQL_ROLLUP_CASCADE = (
+    _T
+    + "\n"
+    + "\nUNION ALL\n".join(_sql_rollup_grain(u) for u in ("minute", "hour", "day"))
+)
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
@@ -1163,6 +1260,9 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("topk_docs", q_topk_docs, _SQL_TOPK_DOCS),
     ("srp_ann", q_srp_ann, _sql_srp_ann()),
     ("media_features", q_media_features, _SQL_MEDIA_FEATURES),
+    ("asof_join", q_asof_join, _SQL_ASOF_JOIN),
+    ("cep_pattern", q_cep_pattern, _SQL_CEP_PATTERN),
+    ("rollup_cascade", q_rollup_cascade, _SQL_ROLLUP_CASCADE),
 ]
 
 

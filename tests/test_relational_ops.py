@@ -1,0 +1,171 @@
+"""Edge-case semantics for asof_join, CEP pattern detection and the
+rollup cascade (the parity harness covers the bulk statistics; these pin
+the boundary behaviors the hash can't isolate)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from arion_spark.operators import asof, cep, rollup
+from arion_spark.transcripts import TRANSCRIPT_SCHEMA
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(s: float) -> datetime:
+    return T0 + timedelta(seconds=s)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [("c1", i, role, f"t{i}", None, _ts(sec)) for i, (role, sec) in enumerate(rows)],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+def _asof(spark, rows, **kw):
+    t = _df(spark, rows)
+    u = t.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    a = t.where(F.col("role") == "assistant").select("conv_id", "turn_idx", "ts")
+    out = asof.asof_join(
+        u, a, on="conv_id", ts="ts", ord_col="turn_idx",
+        payload_cols=("turn_idx",), **kw,
+    )
+    return {r["turn_idx"]: r["asof_turn_idx"] for r in out.collect()}
+
+
+class TestAsofJoin:
+    def test_backward_picks_latest_at_or_before(self, spark):
+        m = _asof(spark, [("assistant", 0), ("assistant", 10), ("user", 20)])
+        assert m == {2: 1}
+
+    def test_equal_ts_is_a_match(self, spark):
+        # at-or-before includes ties: assistant at the same instant matches
+        m = _asof(spark, [("assistant", 5), ("user", 5)])
+        assert m == {1: 0}
+
+    def test_equal_ts_tie_broken_by_ord_max(self, spark):
+        # two assistant turns at the same ts: the max-ord one wins
+        m = _asof(spark, [("assistant", 5), ("assistant", 5), ("user", 5)])
+        assert m == {2: 1}
+
+    def test_no_preceding_row_is_null(self, spark):
+        m = _asof(spark, [("user", 0), ("assistant", 10)])
+        assert m == {0: None}
+
+    def test_tolerance_nulls_stale_match(self, spark):
+        m = _asof(
+            spark,
+            [("assistant", 0), ("user", 30), ("user", 4000)],
+            tolerance_s=3600,
+        )
+        assert m == {1: 0, 2: None}  # 4000 s > 1 h → no match
+
+    def test_forward_picks_earliest_at_or_after(self, spark):
+        m = _asof(
+            spark,
+            [("user", 0), ("assistant", 10), ("assistant", 20)],
+            direction="forward",
+        )
+        assert m == {0: 1}
+
+    def test_forward_equal_ts_tie_broken_by_ord_min(self, spark):
+        m = _asof(
+            spark,
+            [("user", 5), ("assistant", 5), ("assistant", 5)],
+            direction="forward",
+        )
+        assert m == {0: 1}
+
+    def test_left_columns_pass_through(self, spark):
+        t = _df(spark, [("assistant", 0), ("user", 1)])
+        u = t.where(F.col("role") == "user")
+        a = t.where(F.col("role") == "assistant").select("conv_id", "turn_idx", "ts")
+        out = asof.asof_join(u, a, on="conv_id", payload_cols=("turn_idx",))
+        assert set(out.columns) == set(u.columns) | {"asof_ts", "asof_turn_idx"}
+        assert out.count() == 1
+
+    def test_bad_direction_raises(self, spark):
+        t = _df(spark, [("user", 0)])
+        with pytest.raises(ValueError):
+            asof.asof_join(t, t, on="conv_id", direction="sideways")
+
+
+class TestCepPattern:
+    def _match(self, spark, roles):
+        t = _df(spark, [(r, 10.0 * i) for i, r in enumerate(roles)])
+        return [
+            (r["user_turn_idx"], r["n_tools"], r["resp_turn_idx"])
+            for r in cep.detect_user_tools_assistant(t)
+                     .orderBy("user_turn_idx").collect()
+        ]
+
+    def test_single_tool_run(self, spark):
+        assert self._match(spark, ["user", "tool", "assistant"]) == [(0, 1, 2)]
+
+    def test_multi_tool_run_is_maximal(self, spark):
+        got = self._match(spark, ["user", "tool", "tool", "tool", "assistant"])
+        assert got == [(0, 3, 4)]
+
+    def test_direct_answer_no_match(self, spark):
+        # user → assistant with no tool between is NOT the pattern
+        assert self._match(spark, ["user", "assistant"]) == []
+
+    def test_run_ending_in_user_no_match(self, spark):
+        assert self._match(spark, ["user", "tool", "user"]) == []
+
+    def test_trailing_tools_unterminated_no_match(self, spark):
+        assert self._match(spark, ["user", "tool", "tool"]) == []
+
+    def test_two_matches_in_one_conversation(self, spark):
+        got = self._match(
+            spark,
+            ["user", "tool", "assistant", "user", "tool", "tool", "assistant"],
+        )
+        assert got == [(0, 1, 2), (3, 2, 6)]
+
+    def test_latency_fractional_seconds(self, spark):
+        t = _df(spark, [("user", 0.25), ("tool", 1.0), ("assistant", 2.75)])
+        [r] = cep.detect_user_tools_assistant(t).collect()
+        assert r["latency_s"] == pytest.approx(2.5)
+
+
+class TestRollupCascade:
+    def test_reagg_equals_from_scratch(self, spark):
+        # 90 turns spread over ~3 h: the cascade's hour/day rows (built
+        # from the minute aggregate) must equal direct aggregation.
+        t = _df(spark, [("user" if i % 3 else "tool", i * 127.0) for i in range(90)])
+        got = rollup.cascade(t)
+        for unit in ("hour", "day"):
+            cascade_rows = {
+                r["bucket_ts"]: (r["n_turns"], r["n_user_turns"],
+                                 r["sum_chars"], r["max_text_len"])
+                for r in got.where(F.col("grain") == unit).collect()
+            }
+            direct = {
+                r["bucket_ts"]: (r["n_turns"], r["n_user_turns"],
+                                 r["sum_chars"], r["max_text_len"])
+                for r in t.groupBy(F.date_trunc(unit, "ts").alias("bucket_ts"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_turns"),
+                    F.sum((F.col("role") == "user").cast("bigint"))
+                     .alias("n_user_turns"),
+                    F.sum(F.length("text").cast("bigint")).alias("sum_chars"),
+                    F.max(F.length("text")).alias("max_text_len"),
+                )
+                .collect()
+            }
+            assert cascade_rows == direct
+
+    def test_raw_table_scanned_once(self, spark):
+        # hour/day grains must hang off the minute aggregate, not rescan
+        # the base relation: the plan contains exactly one base-side scan
+        # per union branch *below* one aggregate, i.e. the hour branch's
+        # plan re-aggregates and contains two Aggregate nodes.
+        t = _df(spark, [("user", i * 60.0) for i in range(10)])
+        plan = rollup.cascade(t)._jdf.queryExecution().optimizedPlan().toString()
+        # 3 branches × their aggregate chains: minute=1, hour=2, day=3 Aggregates
+        assert plan.count("Aggregate") == 6
