@@ -402,3 +402,135 @@ def test_soak_restart_every_batch_equals_uninterrupted(spark, transcripts_df, tm
     assert got.count() == want.count()
     assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
     assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+
+# --------------------------------------------------------------------------
+# streaming CEP twin (streaming/cep.py vs operators/cep.py)
+
+
+def _cep_rows():
+    """Three conversations with pattern matches, misses and an unterminated
+    trailing tool run; interleaved event times."""
+    rows = []
+    # c1: user→tool→assistant (match), then user→assistant (no match)
+    rows += [
+        _row("c1", 0, 0, "user"),
+        _row("c1", 1, 1, "tool"),
+        _row("c1", 2, 2, "assistant"),
+        _row("c1", 3, 3, "user"),
+        _row("c1", 4, 4, "assistant"),
+    ]
+    # c2: user→tool→tool→tool→assistant (match, n_tools=3), then
+    # user→tool→system (run broken by non-assistant)
+    rows += [
+        _row("c2", 0, 0, "user"),
+        _row("c2", 1, 2, "tool"),
+        _row("c2", 2, 4, "tool"),
+        _row("c2", 3, 6, "tool"),
+        _row("c2", 4, 8, "assistant"),
+        _row("c2", 5, 10, "user"),
+        _row("c2", 6, 12, "tool"),
+        _row("c2", 7, 14, "system"),
+    ]
+    # c3: trailing unterminated user→tool→tool (no match ever)
+    rows += [
+        _row("c3", 0, 0, "user"),
+        _row("c3", 1, 5, "tool"),
+        _row("c3", 2, 10, "tool"),
+    ]
+    return rows
+
+
+def _run_cep_to_memory(spark, replay, name):
+    from arion_spark.streaming.cep import cep_stream
+
+    q = (
+        cep_stream(read_replay_stream(spark, replay), watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"select * from {name}")
+
+
+def _batch_cep_matches(spark, rows):
+    from arion_spark.operators import cep as op_cep
+
+    t = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    return {
+        (r.conv_id, r.user_turn_idx): (r.n_tools, r.resp_turn_idx, r.latency_s)
+        for r in op_cep.detect_user_tools_assistant(t).collect()
+    }
+
+
+def test_streaming_cep_matches_batch(spark, tmp_path):
+    rows = _cep_rows()
+    replay = str(tmp_path / "replay_cep")
+    _write_chunk(spark, rows[:6], f"{replay}/ch1")
+    _write_chunk(spark, rows[6:], f"{replay}/ch2")
+    # sentinel advances the watermark far enough to time out every session
+    _write_chunk(spark, [_row("zz", 0, 6000, "system")], f"{replay}/ch9")
+    got = {
+        (r.conv_id, r.user_turn_idx): (r.n_tools, r.resp_turn_idx, r.latency_s)
+        for r in _run_cep_to_memory(spark, replay, "cep_a").collect()
+    }
+    want = _batch_cep_matches(spark, rows)
+    assert got == want
+    assert ("c1", 0) in want and ("c2", 0) in want  # non-degenerate
+    assert want[("c2", 0)][0] == 3
+
+
+def test_streaming_cep_out_of_order_arrival(spark, tmp_path):
+    """Closing assistant turn arrives BEFORE the tool turn it depends on:
+    the NFA must buffer and still emit the match once the gap fills."""
+    rows = [
+        _row("c1", 0, 0, "user"),
+        _row("c1", 1, 1, "tool"),
+        _row("c1", 2, 2, "assistant"),
+    ]
+    replay = str(tmp_path / "replay_cep_ooo")
+    _write_chunk(spark, [rows[0]], f"{replay}/ch1")
+    _write_chunk(spark, [rows[2]], f"{replay}/ch2")  # assistant first
+    _write_chunk(spark, [rows[1]], f"{replay}/ch3")  # tool fills the gap
+    _write_chunk(spark, [_row("zz", 0, 6000, "system")], f"{replay}/ch9")
+    got = _run_cep_to_memory(spark, replay, "cep_ooo").collect()
+    assert [(r.conv_id, r.user_turn_idx, r.n_tools, r.resp_turn_idx) for r in got] == [
+        ("c1", 0, 1, 2)
+    ]
+
+
+def test_streaming_cep_restart_from_checkpoint(spark, tmp_path):
+    """Kill mid-stream, restart from checkpoint: the union of emitted
+    matches equals the uninterrupted run (file sink, exactly-once)."""
+    rows = _cep_rows()
+    replay = str(tmp_path / "replay_cep_r")
+    _write_chunk(spark, rows[:6], f"{replay}/ch1")
+    out, ckpt = str(tmp_path / "cep_out"), str(tmp_path / "cep_ckpt")
+    from arion_spark.streaming.cep import cep_stream
+
+    def start():
+        return (
+            cep_stream(read_replay_stream(spark, replay), watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    _write_chunk(spark, rows[6:], f"{replay}/ch2")
+    _write_chunk(spark, [_row("zz", 0, 6000, "system")], f"{replay}/ch9")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.conv_id, r.user_turn_idx): (r.n_tools, r.resp_turn_idx, r.latency_s)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == _batch_cep_matches(spark, rows)
