@@ -1,0 +1,78 @@
+"""KMV (k-minimum-values) distinct-count sketch — deterministic and
+oracle-checkable, unlike approx_count_distinct's HLL.
+
+COUNT DISTINCT is the one aggregate the rollup cascade (operators/
+rollup.py) must exclude: it is not re-aggregatable.  The mergeable fix
+at 100 TB is a sketch.  Spark ships HLL via ``approx_count_distinct``,
+but its register layout is implementation-defined — no external oracle
+can reproduce it, so a correctness gate can't see it.  KMV [Bar-Yossef
+et al. 2002, "Counting distinct elements in a data stream"] is the
+sketch whose entire content is *portable*: the k smallest values of a
+uniform hash of the keys.  Estimator: with u_k = k-th smallest hash
+mapped into (0,1),  D̂ = (k-1)/u_k  (unbiased for D > k; exact count
+when fewer than k distinct hashes exist).
+
+Determinism: the "uniform hash" is the first 13 hex digits of
+md5(key) — 52 bits, exact in both int64 and float64 — divided by 16^13.
+Spark and DuckDB compute bit-identical doubles, so the estimate itself
+hash-matches the oracle.
+
+Mergeability (the scale property): the sketch of A ∪ B is the k
+smallest of the union of the two sketches — an associative,
+commutative, bounded-size merge, which is exactly what a 1000-executor
+partial-aggregate tree or a streaming rollup needs.  The plan below is
+the two-shuffle relational form (dedup → per-group k-smallest via
+window rank); on a cluster both stages partial-aggregate map-side
+first, so the full key set never converges on one node.
+
+Reference analog: arion's md5 result hashing as the compact, portable
+digest of a record stream (reference: src/models/fingerprint.cpp) —
+KMV keeps k such digests to summarize a *set*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16^13 = 2^52 — hash domain size; 52-bit values are exact in float64,
+#: and dividing by a power of two is exact scaling, so Spark and DuckDB
+#: produce bit-identical doubles.
+_DOMAIN = float(16**13)
+
+
+def uniform_hash(key: Column) -> Column:
+    """Deterministic uniform (0,1] double from a string key."""
+    return F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") / F.lit(
+        _DOMAIN
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate: ``group_cols + (n_kept, est)``.
+
+    ``n_kept`` = min(k, exact distinct count); ``est`` = exact when the
+    group holds fewer than k distinct keys, else (k-1)/u_k.
+    """
+    hashed = (
+        df.select(*group_cols, uniform_hash(key).alias("_u"))
+        .distinct()  # md5 is injective here for our purposes: dedup hashes
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_u")
+    kept = hashed.select(
+        *group_cols, "_u", F.row_number().over(w).alias("_rn")
+    ).where(F.col("_rn") <= k)
+    return kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.round(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.max("_u")
+            ),
+            4,
+        ).alias("est"),
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arion_spark import oracle as oracle_mod
-from arion_spark.functions import dedup, similarity, text as txt
+from arion_spark.functions import dedup, similarity, sketch, text as txt
 from arion_spark.operators import asof as op_asof
 from arion_spark.operators import cep as op_cep
 from arion_spark.operators import fingerprint as op_fp
@@ -1228,6 +1228,52 @@ _SQL_ROLLUP_CASCADE = (
 )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV distinct-conversation sketch per hour, with exact
+    count + relative error alongside (functions/sketch.py)."""
+    t = transcripts_from_events(spark, sf_dir)
+    hour = F.date_trunc("hour", "ts").alias("hour")
+    est = sketch.kmv_distinct(
+        t.select(hour, "conv_id"), ["hour"], F.col("conv_id"), k=64
+    )
+    exact = t.groupBy(hour).agg(
+        F.countDistinct("conv_id").cast("int").alias("n_exact")
+    )
+    return exact.join(est, "hour").select(
+        "hour",
+        "n_exact",
+        "n_kept",
+        "est",
+        F.round((F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+_SQL_KMV_DISTINCT = f"""{_T},
+h AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hour,
+    (('0x' || substr(md5(conv_id), 1, 13))::BIGINT)::DOUBLE
+      / 4503599627370496.0 AS u
+  FROM transcripts),
+kk AS (
+  SELECT hour, u, row_number() OVER (PARTITION BY hour ORDER BY u) AS rn
+  FROM h),
+s AS (
+  SELECT hour, cast(count(*) AS INT) AS n_kept,
+    round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+               ELSE 63.0 / max(u) END, 4) AS est
+  FROM kk WHERE rn <= 64 GROUP BY hour),
+e AS (
+  SELECT date_trunc('hour', ts) AS hour,
+    cast(count(DISTINCT conv_id) AS INT) AS n_exact
+  FROM transcripts GROUP BY 1)
+SELECT e.hour, e.n_exact, s.n_kept, s.est,
+  round((s.est - e.n_exact) / e.n_exact, 4) AS rel_err
+FROM e JOIN s ON e.hour = s.hour
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
@@ -1263,6 +1309,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("asof_join", q_asof_join, _SQL_ASOF_JOIN),
     ("cep_pattern", q_cep_pattern, _SQL_CEP_PATTERN),
     ("rollup_cascade", q_rollup_cascade, _SQL_ROLLUP_CASCADE),
+    ("kmv_distinct", q_kmv_distinct, _SQL_KMV_DISTINCT),
 ]
 
 
