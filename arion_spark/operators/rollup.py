@@ -17,6 +17,12 @@ path, and approx_count_distinct/HLL for the mergeable sketch path).
 Reference analog: arion emits per-operation summary blocks that callers
 fold into job-level stats (reference: src/arion.cpp:750-834); the rollup
 cascade is that fold as a first-class relational operator.
+
+Physical-plan note: the three grains union three copies of the minute
+subtree, but Spark's exchange reuse (on by default) collapses them — the
+executed plan shows the hour/day branches reading a ``ReusedExchange``
+of the minute shuffle, so the raw table is scanned and shuffled exactly
+once at runtime (asserted in tests/test_relational_ops.py).
 """
 
 from __future__ import annotations

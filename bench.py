@@ -55,6 +55,10 @@ HEADLINE = [
     "jaccard_near_dups",
     "cosine_near_dup",
     "ann_topk",
+    "asof_join",
+    "cep_pattern",
+    "rollup_cascade",
+    "kmv_distinct",
 ]
 
 

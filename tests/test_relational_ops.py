@@ -166,9 +166,15 @@ class TestRollupCascade:
         # per union branch *below* one aggregate, i.e. the hour branch's
         # plan re-aggregates and contains two Aggregate nodes.
         t = _df(spark, [("user", i * 60.0) for i in range(10)])
-        plan = rollup.cascade(t)._jdf.queryExecution().optimizedPlan().toString()
+        out = rollup.cascade(t)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
         # 3 branches × their aggregate chains: minute=1, hour=2, day=3 Aggregates
         assert plan.count("Aggregate") == 6
+        # and at runtime the shared minute shuffle is computed ONCE — the
+        # hour/day branches read a ReusedExchange of it
+        out.collect()
+        executed = out._jdf.queryExecution().executedPlan().toString()
+        assert executed.count("ReusedExchange") >= 2
 
 
 class TestKmvSketch:
