@@ -1274,6 +1274,140 @@ FROM e JOIN s ON e.hour = s.hour
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a doc iff its 52-bit
+    md5-derived uniform hash falls under the stratum's rate — stable
+    across runs/engines (no RNG), map-only, trivially resumable.  The
+    training-data use: down-sample over-represented languages."""
+    d = _docs(spark, sf_dir)
+    rate = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(0.2))
+    u = sketch.uniform_hash(
+        F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))
+    )
+    return d.where(u < rate).select("doc_id", "lang", "source")
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE (('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 13))::BIGINT)::DOUBLE
+      / 4503599627370496.0
+    < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
+"""
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline as ONE query:
+    quality gate → exact dedup (min-id per content md5) → near-dup
+    keep-one (LSH → Jaccard ≥0.5 → connected components → canonical) →
+    per-language funnel summary with surviving token mass.
+
+    Every stage is an operator tested elsewhere (functions/text.py,
+    functions/dedup.py); this query is their composition — what a user
+    of the engine actually runs nightly over a crawl."""
+    d = _docs(spark, sf_dir)
+    feats = txt.quality_features(F.col("text"))
+    q = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        txt.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    quality = q.where((F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.8))
+    exact_kept = quality.join(
+        dedup.exact_dedup(quality).select(F.col("keep_id").alias("doc_id")),
+        "doc_id",
+    )
+    prep = dedup.prepare_dedup_corpus(exact_kept)
+    pairs = dedup.lsh_candidate_pairs(None, prepared=prep)
+    jp = dedup.jaccard_pairs(None, pairs, threshold=0.5, prepared=prep)
+    cc = dedup.connected_components(
+        exact_kept.select("doc_id"), jp.select("id_a", "id_b")
+    )
+    final = exact_kept.join(
+        cc.where(F.col("is_canonical")).select("doc_id"), "doc_id"
+    )
+
+    def _stage(df, col):
+        return df.groupBy("lang").agg(F.count(F.lit(1)).cast("int").alias(col))
+
+    out = (
+        _stage(d, "n_raw")
+        .join(_stage(quality, "n_quality"), "lang", "left")
+        .join(_stage(exact_kept, "n_exact"), "lang", "left")
+        .join(
+            final.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("int").alias("n_final"),
+                F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens_final"),
+            ),
+            "lang",
+            "left",
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))
+    return out.select(
+        "lang",
+        "n_raw",
+        z("n_quality").cast("int").alias("n_quality"),
+        z("n_exact").cast("int").alias("n_exact"),
+        z("n_final").cast("int").alias("n_final"),
+        z("bpe_tokens_final").cast("bigint").alias("bpe_tokens_final"),
+    )
+
+
+_SQL_CORPUS_PREP = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, lang, text, {_D_TOKENS.format(c='text')} AS toks FROM documents),
+q AS (
+  SELECT doc_id, lang, text, toks,
+    cast(len(toks) AS INT) AS n_tokens,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          / greatest(length(text), 1), 4) AS alpha_ratio,
+    cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS INT) AS bpe_tokens
+  FROM tok),
+quality AS (SELECT * FROM q WHERE n_tokens >= 20 AND alpha_ratio >= 0.8),
+exact AS (
+  SELECT * FROM quality
+  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))),
+sh AS (SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM exact),
+hsh AS (SELECT doc_id, {_D_SHINGLE_HASHES.format(sh='shingles')} AS hs FROM sh),
+sig AS (SELECT doc_id, {_d_minhash_sig('hs')} AS s FROM hsh),
+buckets AS (SELECT doc_id, {_D_LSH_BUCKETS} AS bucket FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b USING (bucket) WHERE a.doc_id < b.doc_id),
+jp AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE round(cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL SELECT id_b, id_a FROM jp),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM exact
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
+final AS (SELECT e.* FROM exact e JOIN canon USING (doc_id))
+SELECT r.lang,
+  cast(r.n AS INT) AS n_raw,
+  cast(coalesce(sq.n, 0) AS INT) AS n_quality,
+  cast(coalesce(se.n, 0) AS INT) AS n_exact,
+  cast(coalesce(sf.n, 0) AS INT) AS n_final,
+  cast(coalesce(sf.tok_mass, 0) AS BIGINT) AS bpe_tokens_final
+FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang) r
+LEFT JOIN (SELECT lang, count(*) AS n FROM quality GROUP BY lang) sq USING (lang)
+LEFT JOIN (SELECT lang, count(*) AS n FROM exact GROUP BY lang) se USING (lang)
+LEFT JOIN (SELECT lang, count(*) AS n, sum(bpe_tokens) AS tok_mass
+           FROM final GROUP BY lang) sf USING (lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
@@ -1310,6 +1444,8 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("cep_pattern", q_cep_pattern, _SQL_CEP_PATTERN),
     ("rollup_cascade", q_rollup_cascade, _SQL_ROLLUP_CASCADE),
     ("kmv_distinct", q_kmv_distinct, _SQL_KMV_DISTINCT),
+    ("stratified_sample", q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    ("corpus_prep", q_corpus_prep, _SQL_CORPUS_PREP),
 ]
 
 
