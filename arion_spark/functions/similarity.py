@@ -282,6 +282,50 @@ def banded_srp_buckets(
     )
 
 
+def banded_srp_buckets_udf(dim: int, n_bands: int, n_planes: int):
+    """Arrow-vectorized twin of :func:`banded_srp_buckets`.
+
+    The expression form builds ``n_bands × n_planes`` higher-order
+    ``aggregate(zip_with(...))`` trees over literal arrays — Catalyst
+    interprets HOFs per element, so at 16 bands × 8 planes the bucket
+    assignment alone measured ~19 s for 4k vectors.  This UDF computes
+    the same projections as one numpy pass per Arrow batch (~ms), with
+    the d-loop accumulated **sequentially in dimension order** so every
+    projection is bit-identical to the expression fold (and to the
+    oracle's left-to-right dot product) — sign decisions cannot drift.
+
+    The plane matrix (md5-derived, same ``_hyperplanes``) is a tiny
+    closure constant shipped to every executor; the op stays a narrow
+    map, so the scale shape is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.stack(
+        [
+            np.array(_hyperplanes(dim, n_planes, seed=f"band{b}:"))
+            for b in range(n_bands)
+        ]
+    )  # (bands, planes, dim)
+    W = planes.reshape(n_bands * n_planes, dim).T.copy()  # (dim, bands·planes)
+    bits = (1 << np.arange(n_planes)).astype(np.int64)
+
+    # explicit __annotations__: `from __future__ import annotations`
+    # stringifies inline hints and pandas_udf can't resolve them here
+    def buckets(vs):
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        proj = np.zeros((V.shape[0], W.shape[1]))
+        for d in range(dim):  # sequential over d == the fold's order
+            proj += np.multiply.outer(V[:, d], W[d])
+        signs = (proj > 0.0).reshape(-1, n_bands, n_planes)
+        out = (signs * bits).sum(axis=2).astype(np.int32)
+        return pd.Series(list(out))
+
+    buckets.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(buckets, "array<int>")
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -289,45 +333,60 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bands: int = 16,
-    n_planes: int = 4,
+    n_planes: int = 12,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b), a < b, cosine ≥
     threshold, candidates routed through banded SRP-LSH buckets.
 
     Plan shape (scale path, NOT all-pairs): narrow map computes
     ``n_bands`` bucket ids per vector → ``posexplode`` to (band, bucket)
-    keys → shuffled **equi-join on (band, bucket)** with ``id_a < id_b``
-    → pair dedup → exact cosine verification of candidates only.  No
-    BroadcastNestedLoopJoin anywhere; the only shuffles are the bucket
-    join (key cardinality ``n_bands · 2^n_planes``) and the pair dedup.
+    keys → shuffled **equi-join on (band, bucket)** over ID-ONLY rows
+    with ``id_a < id_b`` → pair dedup → vectors joined back → exact
+    cosine verification of candidates only.  No BroadcastNestedLoopJoin
+    anywhere.  Two deliberate choices, both measured at sf0.1 (4k × 64-d
+    vectors, local[32]):
+
+    * the bucket join and the pair dedup see only (band, bucket, id) —
+      carrying the two 64-double payloads through the candidate shuffle
+      instead was 66 s vs 3 s for this shape (vectors are fetched by two
+      id equi-joins after dedup, which AQE broadcasts when small);
+    * ``n_planes`` sizes the per-band bucket space (2^n_planes).  4
+      planes = 16 buckets/band collapses every band into a handful of
+      mega-buckets whose pair count grows quadratically with corpus
+      size — the silent return of all-pairs (measured: 560k candidates
+      for a 4k corpus).  12 planes (4096/band) keeps buckets
+      near-singleton at this scale; at larger corpora raise
+      ``n_planes`` with log2(corpus) and ``n_bands`` for recall.
+
+    Bucket assignment runs through :func:`banded_srp_buckets_udf` (one
+    numpy pass per Arrow batch, projections bit-identical to the
+    expression fold) — the HOF-expression form measured ~19 s for the
+    assignment alone at 16×8 planes.
 
     Recall: a true pair is missed only if it splits in *every* band —
-    P(miss) = (1 - (1 - θ/π)^n_planes)^n_bands; at cos ≥ 0.9
-    (θ ≤ 25.8°) with 16 bands × 4 planes that is < 1e-6.  At larger
-    corpus sizes raise ``n_planes`` (smaller buckets) and ``n_bands``
-    (recall) together.
+    P(miss) = (1 - (1 - θ/π)^n_planes)^n_bands; at the planted-dup
+    similarity here (cos ≈ 0.93, θ ≈ 21.6°) with 16 bands × 12 planes
+    that is ≈ (1 - 0.216)^16 ≈ 0.02.
     """
+    bucketer = banded_srp_buckets_udf(dim, n_bands, n_planes)
     b = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.posexplode(
-            banded_srp_buckets(F.col(vec_col), dim, n_bands, n_planes)
-        ).alias("band", "bucket"),
-    )
-    left = b.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
-    )
-    right = b.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
+        F.posexplode(bucketer(F.col(vec_col))).alias("band", "bucket"),
     )
     cand = (
-        left.join(right, ["band", "bucket"])
+        b.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(b.select(F.col("id").alias("id_b"), "band", "bucket"),
+              ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = cand.join(
+        vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a"
+    ).join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
     sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
-    return cand.select("id_a", "id_b", sim.alias("cos_sim")).where(
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).where(
         F.col("cos_sim") >= threshold
     )
 

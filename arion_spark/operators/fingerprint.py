@@ -92,6 +92,13 @@ def rolling(
     Arrow batches inside each partition — O(n) total, ONE shuffle, and
     per-PARTITION (not per-group) Python machinery cost.
 
+    A third shape — narrow the Arrow traffic by computing turn_md5
+    JVM-side, folding only (conv_id, turn_idx, turn_md5), and joining
+    conv_fp back to the wide rows — was measured at 3.2M rows /
+    local[16]: 4.43 s vs 4.30 s for this implementation (best-of-2).
+    The join-back shuffle of the wide rows costs what the narrower
+    Arrow transfer saves, so the simpler single-pass form is kept.
+
     Two rejected shapes, both measured on 400k rows / 20k conversations
     at local[32]:
       * SQL window ``aggregate(collect_list(md5) OVER rows-unbounded-

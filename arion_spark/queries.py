@@ -992,27 +992,29 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cosine_near_dup(
-    dim: int = 64, n_bands: int = 16, n_planes: int = 4
+    dim: int = 64, n_bands: int = 16, n_planes: int = 12
 ) -> str:
-    """Banded-SRP near-dup oracle: same md5-derived hyperplanes the Spark
-    side uses (similarity._hyperplanes, per-band seeds), inlined as
-    literals; candidates = same (band, bucket), verified by exact
-    cosine — mirrors cosine_near_dup_pairs exactly."""
-    band_selects = []
-    for b in range(n_bands):
-        planes = similarity._hyperplanes(dim, n_planes, seed=f"band{b}:")
-        bucket = " + ".join(
-            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in row)}]) > 0 "
-            f"THEN {1 << p} ELSE 0 END)"
-            for p, row in enumerate(planes)
-        )
-        band_selects.append(
-            f"SELECT vec_id, v, {b} AS band, {bucket} AS bucket FROM ecorpus"
-        )
-    bb = "\nUNION ALL\n".join(band_selects)
+    """Banded-SRP near-dup oracle.  The hyperplanes are *derived in SQL*
+    from the same md5 recipe the Spark side uses
+    (similarity._hyperplanes: component (band, p, d) =
+    md5('band{b}:{p}:{d}')[:8] / 0xFFFFFFFF * 2 - 1) rather than inlined
+    as thousands of float literals; candidates = same (band, bucket),
+    verified by exact cosine — mirrors cosine_near_dup_pairs exactly."""
     return f"""
 WITH {_D_DUP_EMBEDDINGS},
-bb AS ({bb}),
+pw AS (
+  SELECT band, p,
+    list((('0x' || substr(md5('band' || band || ':' || p || ':' || d), 1, 8))
+          ::BIGINT / 4294967295.0) * 2 - 1 ORDER BY d) AS w
+  FROM range({n_bands}) t1(band), range({n_planes}) t2(p), range({dim}) t3(d)
+  GROUP BY band, p),
+proj AS (
+  SELECT e.vec_id, pw.band, pw.p, list_dot_product(e.v, pw.w) AS pr
+  FROM ecorpus e CROSS JOIN pw),
+bb AS (
+  SELECT vec_id, band,
+    cast(sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY vec_id, band),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bb a JOIN bb b
