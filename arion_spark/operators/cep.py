@@ -78,3 +78,151 @@ def detect_user_tools_assistant(t: DataFrame) -> DataFrame:
             - F.col("ts").cast("timestamp").cast("double")
         ).alias("latency_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic pattern API: MATCH_RECOGNIZE-style (role, quantifier) sequences
+
+
+#: pattern element: (role, quantifier); quantifier "1" = exactly one,
+#: "+" = one or more.  Compiled/validated by compile_pattern().
+DEFAULT_PATTERN = (("user", "1"), ("tool", "+"), ("assistant", "1"))
+
+
+def compile_pattern(pattern) -> tuple[tuple[str, str], ...]:
+    """Validate a pattern for the deterministic single-scan NFA.
+
+    Constraint: a ``+`` element's role must differ from the next
+    element's role — otherwise "stay in the run" vs "advance" is
+    ambiguous and the single-partial NFA below would need backtracking.
+    (MATCH_RECOGNIZE imposes the analogous greedy-determinism rule.)
+    """
+    pat = tuple((str(r), str(q)) for r, q in pattern)
+    if not pat:
+        raise ValueError("cep: empty pattern")
+    for r, q in pat:
+        if q not in ("1", "+"):
+            raise ValueError(f"cep: unknown quantifier {q!r}")
+    for i, (r, q) in enumerate(pat[:-1]):
+        if q == "+" and pat[i + 1][0] == r:
+            raise ValueError(
+                f"cep: ambiguous pattern — '+' element {r!r} followed by the "
+                "same role needs backtracking"
+            )
+    return pat
+
+
+def _nfa_step(pat, pos: int, cnt: int, role: str):
+    """One transition of the single-partial NFA.
+
+    Returns (new_pos, new_cnt) on progress or None on failure.  A ``+``
+    element with ≥1 match falls through to the next element when the
+    incoming role stops the run (recursion depth ≤ pattern length).
+    """
+    if pos >= len(pat):
+        return None
+    r, q = pat[pos]
+    if role == r:
+        return (pos + 1, 0) if q == "1" else (pos, cnt + 1)
+    if q == "+" and cnt >= 1:
+        return _nfa_step(pat, pos + 1, 0, role)
+    return None
+
+
+def _run_nfa(pat, rows):
+    """Run the NFA over in-order (turn_idx, role, ts) tuples; yields
+    (start_idx, start_ts, end_idx, end_ts, n_turns) per match.
+
+    Restart semantics (same as detect_user_tools_assistant): at most one
+    active partial; a failing turn resets it and may itself start a new
+    partial.  Matches therefore never overlap.
+    """
+    pos, cnt, start = 0, 0, None
+    for idx, role, ts in rows:
+        if start is not None:
+            nxt = _nfa_step(pat, pos, cnt, role)
+            if nxt is not None:
+                pos, cnt = nxt
+                if pos == len(pat):
+                    yield (start[0], start[1], idx, ts, idx - start[0] + 1)
+                    pos, cnt, start = 0, 0, None
+                continue
+            pos, cnt, start = 0, 0, None
+        nxt = _nfa_step(pat, 0, 0, role)
+        if nxt is not None:
+            pos, cnt = nxt
+            start = (idx, ts)
+            if pos == len(pat):  # single-element pattern
+                yield (idx, ts, idx, ts, 1)
+                pos, cnt, start = 0, 0, None
+
+
+def match_pattern(t: DataFrame, pattern=DEFAULT_PATTERN) -> DataFrame:
+    """Batch pattern matching for ANY compiled (role, quantifier)
+    sequence: ``repartition(conv_id) → sortWithinPartitions → mapInPandas``
+    running the same NFA the streaming twin keeps in state — one shuffle,
+    O(n) per partition, per-PARTITION (not per-group) Python cost, the
+    exact plan shape of operators.fingerprint.rolling.
+
+    Output: conv_id, start_turn_idx, start_ts, end_turn_idx, end_ts,
+    n_turns, latency_s.  For DEFAULT_PATTERN this equals
+    detect_user_tools_assistant (asserted in tests) — that window-
+    expression form stays the oracle-checked fast path; this is the
+    general operator.
+    """
+    import pandas as pd
+
+    pat = compile_pattern(pattern)
+
+    def scan(batches):
+        # rows within a partition arrive sorted by (conv_id, turn_idx);
+        # carry the partial across Arrow batches, reset per conversation
+        cur = None
+        pos, cnt, start = 0, 0, None
+        out_rows = []
+        for pdf in batches:
+            for conv, idx, role, ts in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["ts"]
+            ):
+                if conv != cur:
+                    cur, pos, cnt, start = conv, 0, 0, None
+                if start is not None:
+                    nxt = _nfa_step(pat, pos, cnt, role)
+                    if nxt is not None:
+                        pos, cnt = nxt
+                        if pos == len(pat):
+                            out_rows.append(
+                                (cur, start[0], start[1], idx, ts, idx - start[0] + 1)
+                            )
+                            pos, cnt, start = 0, 0, None
+                        continue
+                    pos, cnt, start = 0, 0, None
+                nxt = _nfa_step(pat, 0, 0, role)
+                if nxt is not None:
+                    pos, cnt = nxt
+                    start = (idx, ts)
+                    if pos == len(pat):
+                        out_rows.append((cur, idx, ts, idx, ts, 1))
+                        pos, cnt, start = 0, 0, None
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "conv_id", "start_turn_idx", "start_ts",
+                    "end_turn_idx", "end_ts", "n_turns",
+                ],
+            )
+
+    schema = (
+        "conv_id string, start_turn_idx int, start_ts timestamp, "
+        "end_turn_idx int, end_ts timestamp, n_turns int"
+    )
+    parts = t.select("conv_id", "turn_idx", "role", "ts").repartition(
+        "conv_id"
+    ).sortWithinPartitions("conv_id", "turn_idx")
+    out = parts.mapInPandas(scan, schema)
+    lat = (
+        F.col("end_ts").cast("timestamp").cast("double")
+        - F.col("start_ts").cast("timestamp").cast("double")
+    )
+    return out.withColumn("latency_s", lat)

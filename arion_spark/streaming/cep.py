@@ -174,3 +174,140 @@ def cep_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic pattern stream: any compiled (role, quantifier) sequence
+
+
+GENERIC_OUTPUT_SCHEMA = (
+    "conv_id string, start_turn_idx int, start_ts timestamp, "
+    "end_turn_idx int, end_ts timestamp, n_turns int, latency_s double, "
+    "flushed boolean"
+)
+
+#: NFA registers (pos/cnt/start) + the same OOO buffer
+GENERIC_STATE_SCHEMA = (
+    "next_idx int, pos int, cnt int, start_idx int, start_ts long, "
+    "buf_idx array<int>, buf_role array<string>, buf_ts array<long>, "
+    "max_ts long"
+)
+
+
+def _generic_processor(pattern, session_gap_ms: int):
+    from arion_spark.operators.cep import _nfa_step, compile_pattern
+
+    pat = compile_pattern(pattern)
+    plen = len(pat)
+
+    def fn(
+        key: tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            (next_idx, pos, cnt, start_idx, start_ts, bi, br, bts, max_ts) = state.get
+            buf = {int(i): (r, t) for i, r, t in zip(bi, br, bts)}
+        else:
+            next_idx, pos, cnt, start_idx, start_ts = 0, 0, 0, -1, 0
+            buf, max_ts = {}, 0
+
+        flush = bool(state.hasTimedOut)
+        if not flush:
+            wm_ms = state.getCurrentWatermarkMs()
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    ts_ms = int(row.ts.value // 1_000_000)
+                    if wm_ms > 0 and ts_ms < wm_ms:
+                        continue
+                    max_ts = max(max_ts, ts_ms)
+                    if row.turn_idx >= next_idx and row.turn_idx not in buf:
+                        buf[int(row.turn_idx)] = (row.role, ts_ms)
+
+        matches: list[tuple] = []
+
+        def feed(idx, role, ts_ms):
+            # identical control flow to operators.cep._run_nfa
+            nonlocal pos, cnt, start_idx, start_ts
+            if start_idx >= 0:
+                nxt = _nfa_step(pat, pos, cnt, role)
+                if nxt is not None:
+                    pos, cnt = nxt
+                    if pos == plen:
+                        matches.append((start_idx, start_ts, idx, ts_ms))
+                        pos, cnt, start_idx, start_ts = 0, 0, -1, 0
+                    return
+                pos, cnt, start_idx, start_ts = 0, 0, -1, 0
+            nxt = _nfa_step(pat, 0, 0, role)
+            if nxt is not None:
+                pos, cnt = nxt
+                start_idx, start_ts = idx, ts_ms
+                if pos == plen:
+                    matches.append((idx, ts_ms, idx, ts_ms))
+                    pos, cnt, start_idx, start_ts = 0, 0, -1, 0
+
+        for idx in sorted(buf):
+            if not flush and idx != next_idx:
+                if idx < next_idx:
+                    buf.pop(idx)
+                    continue
+                break
+            role, ts_ms = buf.pop(idx)
+            feed(idx, role, ts_ms)
+            next_idx = idx + 1
+
+        if flush and not buf:
+            state.remove()
+        else:
+            items = sorted(buf.items())
+            state.update(
+                (
+                    int(next_idx), int(pos), int(cnt),
+                    int(start_idx), int(start_ts),
+                    [i for i, _ in items],
+                    [v[0] for _, v in items],
+                    [v[1] for _, v in items],
+                    int(max_ts),
+                )
+            )
+            state.setTimeoutTimestamp(max_ts + session_gap_ms)
+
+        if matches:
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "start_turn_idx": [m[0] for m in matches],
+                    "start_ts": [pd.Timestamp(m[1], unit="ms") for m in matches],
+                    "end_turn_idx": [m[2] for m in matches],
+                    "end_ts": [pd.Timestamp(m[3], unit="ms") for m in matches],
+                    "n_turns": [m[2] - m[0] + 1 for m in matches],
+                    "latency_s": [(m[3] - m[1]) / 1000.0 for m in matches],
+                    "flushed": flush,
+                }
+            )
+
+    return fn
+
+
+def pattern_stream(
+    stream: DataFrame,
+    pattern,
+    watermark: str = "1 hour",
+    session_gap_ms: int = DEFAULT_SESSION_GAP_MS,
+) -> DataFrame:
+    """Streaming twin of ``operators.cep.match_pattern`` for ANY compiled
+    (role, quantifier) pattern — same NFA step function, same restart
+    semantics, so batch and stream emit identical matches for on-time
+    data (asserted in tests across two patterns)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _generic_processor(pattern, session_gap_ms),
+            GENERIC_OUTPUT_SCHEMA,
+            GENERIC_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

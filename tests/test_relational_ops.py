@@ -220,3 +220,57 @@ class TestKmvSketch:
         merged = sorted(set(hashes(half_a)) | set(hashes(half_b)))[:64]
         est_merged = round(63.0 / merged[63], 4)
         assert est_merged == direct["est"]
+
+
+class TestGenericPattern:
+    """operators.cep.match_pattern — the generic NFA operator — must
+    agree with the window-expression fast path on the default pattern
+    and handle arbitrary (role, quantifier) sequences."""
+
+    def test_default_pattern_equals_window_form(self, spark):
+        roles = [
+            "user", "tool", "assistant", "user", "assistant",
+            "user", "tool", "tool", "assistant", "system",
+            "user", "tool", "user", "tool", "tool", "assistant",
+        ]
+        t = _df(spark, [(r, 10.0 * i) for i, r in enumerate(roles)])
+        nfa = {
+            (r["conv_id"], r["start_turn_idx"]): (r["end_turn_idx"], r["n_turns"])
+            for r in cep.match_pattern(t).collect()
+        }
+        win = {
+            (r["conv_id"], r["user_turn_idx"]): (
+                r["resp_turn_idx"], r["resp_turn_idx"] - r["user_turn_idx"] + 1
+            )
+            for r in cep.detect_user_tools_assistant(t).collect()
+        }
+        assert nfa == win and nfa  # identical and non-empty
+
+    def test_alternate_pattern(self, spark):
+        # tool+ -> system: fires at the system turn closing a tool run
+        roles = ["tool", "tool", "system", "user", "tool", "user", "system"]
+        t = _df(spark, [(r, 10.0 * i) for i, r in enumerate(roles)])
+        got = [
+            (r["start_turn_idx"], r["end_turn_idx"])
+            for r in cep.match_pattern(t, [("tool", "+"), ("system", "1")])
+                     .orderBy("start_turn_idx").collect()
+        ]
+        assert got == [(0, 2)]  # the (4 tool, 5 user) run is broken
+
+    def test_single_element_pattern(self, spark):
+        roles = ["user", "assistant", "assistant"]
+        t = _df(spark, [(r, 10.0 * i) for i, r in enumerate(roles)])
+        got = [
+            r["start_turn_idx"]
+            for r in cep.match_pattern(t, [("assistant", "1")])
+                     .orderBy("start_turn_idx").collect()
+        ]
+        assert got == [1, 2]
+
+    def test_ambiguous_pattern_rejected(self, spark):
+        with pytest.raises(ValueError, match="ambiguous"):
+            cep.compile_pattern([("tool", "+"), ("tool", "1")])
+
+    def test_bad_quantifier_rejected(self, spark):
+        with pytest.raises(ValueError, match="quantifier"):
+            cep.compile_pattern([("user", "*")])

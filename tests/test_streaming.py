@@ -534,3 +534,55 @@ def test_streaming_cep_restart_from_checkpoint(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == _batch_cep_matches(spark, rows)
+
+
+def test_generic_pattern_stream_matches_batch(spark, tmp_path):
+    """pattern_stream (generic NFA in state) == match_pattern (batch NFA
+    over sorted partitions) for a non-default pattern, with out-of-order
+    arrival and timeout flush."""
+    from arion_spark.operators import cep as op_cep
+    from arion_spark.streaming.cep import pattern_stream
+
+    pat = [("user", "1"), ("tool", "+"), ("tool", "+")]  # invalid: ambiguous
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        op_cep.compile_pattern(pat)
+
+    pat = [("tool", "+"), ("assistant", "1")]
+    rows = [
+        _row("c1", 0, 0, "tool"),
+        _row("c1", 1, 1, "tool"),
+        _row("c1", 2, 2, "assistant"),
+        _row("c2", 0, 0, "user"),
+        _row("c2", 1, 1, "tool"),
+        _row("c2", 2, 2, "assistant"),
+        _row("c2", 3, 3, "tool"),
+    ]
+    replay = str(tmp_path / "replay_gp")
+    # out-of-order: c1 turn 1 arrives after turn 2
+    _write_chunk(spark, [rows[0], rows[2]], f"{replay}/ch1")
+    _write_chunk(spark, [rows[1]] + rows[3:], f"{replay}/ch2")
+    _write_chunk(spark, [_row("zz", 0, 6000, "system")], f"{replay}/ch9")
+
+    q = (
+        pattern_stream(read_replay_stream(spark, replay), pat, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("gp_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.conv_id, r.start_turn_idx): (r.end_turn_idx, r.n_turns, r.latency_s)
+        for r in spark.sql("select * from gp_out").collect()
+    }
+    batch = {
+        (r.conv_id, r.start_turn_idx): (r.end_turn_idx, r.n_turns, r.latency_s)
+        for r in op_cep.match_pattern(
+            spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), pat
+        ).collect()
+    }
+    assert got == batch
+    assert ("c1", 0) in got and ("c2", 1) in got
