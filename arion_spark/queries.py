@@ -1410,6 +1410,49 @@ LEFT JOIN (SELECT lang, count(*) AS n, sum(bpe_tokens) AS tok_mass
 """
 
 
+def q_role_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregate via CUBE(role, has_tool): all four
+    grouping combinations in one pass (Spark expands the cube into a
+    single Expand + one aggregation — one shuffle, not four queries).
+    NULL grouping cells are labeled '(all)' so the driver canonicalizer
+    never sees ambiguous NULLs."""
+    t = transcripts_from_events(spark, sf_dir)
+    base = t.select(
+        "role",
+        F.when(F.col("tool").isNotNull(), F.lit("tool")).otherwise("no_tool")
+            .alias("has_tool"),
+        F.length("text").alias("n_chars"),
+    )
+    cube = base.cube("role", "has_tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return cube.select(
+        F.coalesce("role", F.lit("(all)")).alias("role"),
+        F.coalesce("has_tool", F.lit("(all)")).alias("has_tool"),
+        "n_turns",
+        "sum_chars",
+        "max_chars",
+    )
+
+
+_SQL_ROLE_CUBE = f"""{_T},
+base AS (
+  SELECT role,
+    CASE WHEN tool IS NOT NULL THEN 'tool' ELSE 'no_tool' END AS has_tool,
+    length(text) AS n_chars
+  FROM transcripts)
+SELECT coalesce(role, '(all)') AS role,
+  coalesce(has_tool, '(all)') AS has_tool,
+  cast(count(*) AS BIGINT) AS n_turns,
+  cast(sum(n_chars) AS BIGINT) AS sum_chars,
+  cast(max(n_chars) AS INT) AS max_chars
+FROM base
+GROUP BY CUBE (role, has_tool)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
@@ -1448,6 +1491,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("kmv_distinct", q_kmv_distinct, _SQL_KMV_DISTINCT),
     ("stratified_sample", q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     ("corpus_prep", q_corpus_prep, _SQL_CORPUS_PREP),
+    ("role_cube", q_role_cube, _SQL_ROLE_CUBE),
 ]
 
 
