@@ -87,15 +87,19 @@ def bench_streaming(spark, n_turns: int) -> dict:
     from arion_spark.streaming.source import write_replay_chunks
     from arion_spark.transcripts import generate_transcripts
 
-    work = tempfile.mkdtemp(prefix="arion_bench_")
+    # replay/sink/checkpoint on tmpfs when available — models per-node
+    # RAM/NVMe; the sandbox's single shared /tmp disk otherwise injects
+    # multi-second fsync stalls into micro-batch commits (measured 25 s vs
+    # 70 s run-to-run spread at 200k turns).  Same protocol as
+    # tools/bench_scaling.py.
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="arion_bench_", dir=_shm)
     try:
         df = generate_transcripts(spark, n_turns)
         # multi-file chunks: a 1-file chunk makes each micro-batch's scan a
         # single task (serial floor) — production sources are many-partition
         write_replay_chunks(df, f"{work}/replay", n_chunks=8, files_per_chunk=8)
 
-        cap = ProgressCapture()
-        spark.streams.addListener(cap)
         spec = {
             "operations": [
                 {"type": "read_meta", "params": {"info": True}},
@@ -106,6 +110,20 @@ def bench_streaming(spark, n_turns: int) -> dict:
                 {"type": "fingerprint", "params": {"type": "md5"}},
             ]
         }
+        # warmup on a tiny replay: state-store init, streaming codegen and
+        # Python-worker forks are cold-START costs, not throughput — same
+        # protocol as tools/bench_scaling.py
+        warm = generate_transcripts(spark, 2000)
+        write_replay_chunks(warm, f"{work}/warm_replay", n_chunks=2)
+        wq, _ = run_stream_pipeline(
+            spark, spec, f"{work}/warm_replay", f"{work}/warm_out",
+            f"{work}/warm_ckpt", watermark="10 minutes",
+        )
+        wq.processAllAvailable()
+        wq.stop()
+
+        cap = ProgressCapture()
+        spark.streams.addListener(cap)
         t0 = time.perf_counter()
         query, sink = run_stream_pipeline(
             spark,
@@ -115,6 +133,7 @@ def bench_streaming(spark, n_turns: int) -> dict:
             f"{work}/ckpt",
             watermark="10 minutes",
             max_files_per_trigger=8,
+            sink_stats="minimal",
         )
         query.processAllAvailable()
         query.stop()
