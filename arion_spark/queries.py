@@ -741,13 +741,14 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b USING (bucket)
   WHERE a.doc_id < b.doc_id),
+hsd AS (SELECT doc_id, list_distinct(hs) AS hv FROM hsh),
 j AS (
   SELECT p.id_a, p.id_b,
-    cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS inter,
-    len(sa.shingles) AS na, len(sb.shingles) AS nb
+    cast(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE) AS inter,
+    len(sa.hv) AS na, len(sb.hv) AS nb
   FROM pairs p
-  JOIN sh sa ON sa.doc_id = p.id_a
-  JOIN sh sb ON sb.doc_id = p.id_b)
+  JOIN hsd sa ON sa.doc_id = p.id_a
+  JOIN hsd sb ON sb.doc_id = p.id_b)
 SELECT id_a, id_b, round(inter / (na + nb - inter), 4) AS jaccard
 FROM j WHERE round(inter / (na + nb - inter), 4) >= 0.5
 """
@@ -778,14 +779,15 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b USING (bucket)
   WHERE a.doc_id < b.doc_id),
+hsd AS (SELECT doc_id, list_distinct(hs) AS hv FROM hsh),
 jp AS (
   SELECT p.id_a, p.id_b
   FROM pairs p
-  JOIN sh sa ON sa.doc_id = p.id_a
-  JOIN sh sb ON sb.doc_id = p.id_b
-  WHERE round(cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / (len(sa.shingles) + len(sb.shingles)
-           - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.5),
+  JOIN hsd sa ON sa.doc_id = p.id_a
+  JOIN hsd sb ON sb.doc_id = p.id_b
+  WHERE round(cast(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE)
+        / (len(sa.hv) + len(sb.hv)
+           - len(list_intersect(sa.hv, sb.hv))), 4) >= 0.5),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM jp
   UNION ALL SELECT id_b, id_a FROM jp),
@@ -1380,13 +1382,14 @@ buckets AS (SELECT doc_id, {_D_LSH_BUCKETS} AS bucket FROM sig),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b USING (bucket) WHERE a.doc_id < b.doc_id),
+hsd AS (SELECT doc_id, list_distinct(hs) AS hv FROM hsh),
 jp AS (
   SELECT p.id_a, p.id_b FROM pairs p
-  JOIN sh sa ON sa.doc_id = p.id_a
-  JOIN sh sb ON sb.doc_id = p.id_b
-  WHERE round(cast(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / (len(sa.shingles) + len(sb.shingles)
-           - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.5),
+  JOIN hsd sa ON sa.doc_id = p.id_a
+  JOIN hsd sb ON sb.doc_id = p.id_b
+  WHERE round(cast(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE)
+        / (len(sa.hv) + len(sb.hv)
+           - len(list_intersect(sa.hv, sb.hv))), 4) >= 0.5),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM jp
   UNION ALL SELECT id_b, id_a FROM jp),
