@@ -354,3 +354,58 @@ def simhash16(text: Column) -> Column:
     for x in bits[1:]:
         out = out + x
     return out.cast("int")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming(sketch_a, sketch_b) ≤
+    ``max_hamming``, candidates via the banded-half equi-join.
+
+    Pigeonhole makes this EXACT (recall 1.0), not probabilistic: two
+    16-bit sketches differing in ≤ d bits must agree exactly on at least
+    one of ``n_bands`` 4-bit bands whenever ``d < n_bands`` — so the
+    (band, band_value) equi-join loses nothing for d ≤ 3 at 4 bands.
+    Candidates carry ids only through the join + dedup (the
+    cosine_near_dup lesson); sketches are equi-joined back for the
+    ``bit_count(xor)`` verification.  One narrow sketch map, one bucket
+    shuffle, no all-pairs anywhere.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded hamming join is exact only for max_hamming < n_bands "
+            f"(got {max_hamming} ≥ {n_bands})"
+        )
+    width = 16 // n_bands
+    mask = (1 << width) - 1
+    s = df.select(F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("sh"))
+    bands = s.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sh", width * b).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    cand = (
+        bands.select(F.col("id").alias("id_a"), "band", "bv")
+        .join(bands.select(F.col("id").alias("id_b"), "band", "bv"), ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sk = s
+    pairs = cand.join(
+        sk.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
+    ).join(sk.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

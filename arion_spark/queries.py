@@ -1456,6 +1456,40 @@ GROUP BY CUBE (role, has_tool)
 """
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 1) via the banded-half
+    equi-join — exact by pigeonhole for d < bands, no all-pairs
+    (functions/dedup.py::simhash_near_dups).  Two 8-bit bands: 256-value
+    buckets keep the candidate join sparse; hamming ≤ 3 over 4-bit bands
+    was measured to admit 12.6% of ALL pairs on this corpus (a 16-bit
+    sketch is coarse), i.e. the banded join degenerated toward
+    all-pairs."""
+    return dedup.simhash_near_dups(
+        _near_dup_corpus_spark(spark, sf_dir), max_hamming=1, n_bands=2
+    )
+
+
+_SQL_SIMHASH_NEAR_DUPS = f"""
+WITH {_D_NEAR_DUP_CORPUS},
+tok AS (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM corpus),
+h AS (SELECT doc_id, {_D_H16.format(t='toks')} AS h16 FROM tok),
+s AS (SELECT doc_id, cast({_D_SIMHASH_BITS} AS INT) AS sh FROM h),
+bands AS (
+  SELECT doc_id, b.band, (sh >> (8 * b.band)) & 255 AS bv
+  FROM s, range(2) b(band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
+  cast(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
+FROM cand c
+JOIN s sa ON sa.doc_id = c.id_a
+JOIN s sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.sh, sb.sh)) <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
@@ -1484,6 +1518,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("frame_sample", q_frame_sample, _SQL_FRAME_SAMPLE),
     ("cosine_near_dup", q_cosine_near_dup, _sql_cosine_near_dup()),
     ("simhash_docs", q_simhash_docs, _SQL_SIMHASH),
+    ("simhash_near_dups", q_simhash_near_dups, _SQL_SIMHASH_NEAR_DUPS),
     ("doc_fingerprints", q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
     ("topk_docs", q_topk_docs, _SQL_TOPK_DOCS),
     ("srp_ann", q_srp_ann, _sql_srp_ann()),

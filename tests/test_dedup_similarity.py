@@ -260,3 +260,33 @@ def test_cosine_near_dup_pairs(spark, vec_df):
         if ids[a] < ids[b] and round(sims[a, b], 4) >= 0.95
     }
     assert set(got) == want
+
+
+def test_simhash_near_dups_banded_is_exact(spark):
+    """Pigeonhole: the banded-half candidate join must find EXACTLY the
+    pairs an all-pairs hamming scan finds (d < bands ⇒ recall 1.0)."""
+    from itertools import combinations
+
+    rows = [(i, f"alpha beta gamma delta {w}") for i, w in enumerate(
+        ["one", "two", "three", "one", "five", "six seven eight nine"]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dups(df, max_hamming=1, n_bands=2).collect()
+    }
+    sk = {r.doc_id: r.sh for r in df.select(
+        "doc_id", dedup.simhash16(F.col("text")).alias("sh")).collect()}
+    want = {
+        (a, b): bin(sk[a] ^ sk[b]).count("1")
+        for a, b in combinations(sorted(sk), 2)
+        if bin(sk[a] ^ sk[b]).count("1") <= 1
+    }
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 0  # identical texts
+
+
+def test_simhash_near_dups_rejects_inexact_params(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exact"):
+        dedup.simhash_near_dups(df, max_hamming=2, n_bands=2)
