@@ -199,10 +199,14 @@ def kmeans_centroids(
 
 
 def _assign_cells(
-    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Nearest-centroid (max cosine, ties → lowest cell_id) assignment:
-    map-only against a broadcast centroid table + one per-id top-1."""
+    """``n_probes`` nearest-centroid assignment (max cosine, ties →
+    lowest cell_id): map-only against a broadcast centroid table + one
+    per-id top-``n_probes`` window.  Probing >1 cells is the standard
+    IVF recall dial — the corpus stays single-cell, only the (small)
+    query side fans out."""
     scored = df.join(F.broadcast(cents)).select(
         df[id_col],
         df[vec_col],
@@ -212,7 +216,7 @@ def _assign_cells(
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= n_probes)
         .drop("_rn", "_sim")
     )
 
@@ -225,6 +229,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize every vector to its
     nearest "centroid", then search only the query's cell.
@@ -249,7 +254,7 @@ def ivf_topk(
     cb = _assign_cells(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
     )
-    qb = _assign_cells(queries, cents, id_col, vec_col).select(
+    qb = _assign_cells(queries, cents, id_col, vec_col, n_probes=n_probes).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell_id"
     )
     scored = (

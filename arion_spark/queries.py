@@ -1490,6 +1490,41 @@ WHERE bit_count(xor(sa.sh, sb.sh)) <= 1
 """
 
 
+def q_ivf_probe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with multi-probe (n_probes=2): queries search their TWO
+    nearest cells — the standard IVF recall dial; corpus assignment stays
+    single-cell, only the small query side fans out."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 8), n_cells=4, k=5, n_probes=2
+    )
+
+
+_SQL_IVF_PROBE_ANN = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cell_id, v AS cent FROM e ORDER BY vec_id LIMIT 4),
+asg AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {_D_COS.format(a='e.v', b='c.cent')} DESC, c.cell_id) AS rn
+  FROM e CROSS JOIN c),
+cells AS (SELECT vec_id, v, cell_id FROM asg WHERE rn = 1),
+probes AS (SELECT vec_id, v, cell_id FROM asg WHERE rn <= 2 AND vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    round({_D_COS.format(a='q.v', b='n.v')}, 3) AS score
+  FROM probes q JOIN cells n
+    ON q.cell_id = n.cell_id AND q.vec_id <> n.vec_id),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
@@ -1515,6 +1550,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("ann_topk", q_ann_topk, _SQL_ANN_TOPK),
     ("ivf_ann", q_ivf_ann, _SQL_IVF_ANN),
     ("ivf_kmeans_ann", q_ivf_kmeans_ann, _sql_ivf_kmeans_ann()),
+    ("ivf_probe_ann", q_ivf_probe_ann, _SQL_IVF_PROBE_ANN),
     ("frame_sample", q_frame_sample, _SQL_FRAME_SAMPLE),
     ("cosine_near_dup", q_cosine_near_dup, _sql_cosine_near_dup()),
     ("simhash_docs", q_simhash_docs, _SQL_SIMHASH),
