@@ -586,3 +586,50 @@ def test_generic_pattern_stream_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert ("c1", 0) in got and ("c2", 1) in got
+
+
+def test_generic_pattern_stream_restart_from_checkpoint(spark, tmp_path):
+    """Generic NFA state round-trips through a checkpoint: kill between
+    micro-batches, restart, union of emissions equals the uninterrupted
+    batch result (mid-pattern state must survive serialization)."""
+    from arion_spark.operators import cep as op_cep
+    from arion_spark.streaming.cep import pattern_stream
+
+    pat = [("user", "1"), ("tool", "+"), ("assistant", "1")]
+    rows = [
+        _row("c1", 0, 0, "user"),
+        _row("c1", 1, 1, "tool"),     # stream killed here: NFA mid-pattern
+        _row("c1", 2, 2, "tool"),
+        _row("c1", 3, 3, "assistant"),
+    ]
+    replay = str(tmp_path / "replay_gpr")
+    _write_chunk(spark, rows[:2], f"{replay}/ch1")
+    out, ckpt = str(tmp_path / "gpr_out"), str(tmp_path / "gpr_ckpt")
+
+    def start():
+        return (
+            pattern_stream(read_replay_stream(spark, replay), pat,
+                           watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    qq = start(); qq.processAllAvailable(); qq.stop()
+    _write_chunk(spark, rows[2:], f"{replay}/ch2")
+    _write_chunk(spark, [_row("zz", 0, 6000, "system")], f"{replay}/ch9")
+    qq = start(); qq.processAllAvailable(); qq.stop()
+
+    got = {
+        (r.conv_id, r.start_turn_idx): (r.end_turn_idx, r.n_turns)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.conv_id, r.start_turn_idx): (r.end_turn_idx, r.n_turns)
+        for r in op_cep.match_pattern(
+            spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), pat
+        ).collect()
+    }
+    assert got == want == {("c1", 0): (3, 4)}
