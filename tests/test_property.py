@@ -137,3 +137,64 @@ def test_minhash_matches_python(spark, texts):
             for a, b in dedup.MINHASH_AB
         ]
         assert got[i] == want, (i, t)
+
+
+# --------------------------------------------------------------------------
+# CEP NFA vs an independent brute-force matcher (pure Python, no NFA)
+
+
+def _brute_force_default_pattern(roles: list[str]) -> list[tuple[int, int]]:
+    """(start, end) of every user→tool+→assistant match, by the window
+    definition: the next non-tool turn after the user is an assistant
+    with ≥1 tool between — written WITHOUT the NFA to be an independent
+    reference."""
+    out = []
+    for i, r in enumerate(roles):
+        if r != "user":
+            continue
+        j = i + 1
+        while j < len(roles) and roles[j] == "tool":
+            j += 1
+        if j < len(roles) and roles[j] == "assistant" and j > i + 1:
+            out.append((i, j))
+    return out
+
+
+@given(
+    st.lists(
+        st.sampled_from(["user", "assistant", "tool", "system"]),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cep_nfa_matches_brute_force(roles):
+    from arion_spark.operators.cep import DEFAULT_PATTERN, _run_nfa, compile_pattern
+
+    rows = [(i, r, float(i)) for i, r in enumerate(roles)]
+    got = [(m[0], m[2]) for m in _run_nfa(compile_pattern(DEFAULT_PATTERN), rows)]
+    assert got == _brute_force_default_pattern(roles)
+
+
+# --------------------------------------------------------------------------
+# KMV estimator vs a pure-Python computation of the identical recipe
+
+
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                min_size=1, max_size=300))
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmv_matches_python(spark, keys):
+    from arion_spark.functions import sketch
+
+    df = spark.createDataFrame([("g", k) for k in keys], "g string, k string")
+    [r] = sketch.kmv_distinct(df, ["g"], F.col("k"), k=16).collect()
+
+    us = sorted(
+        {int(hashlib.md5(k.encode()).hexdigest()[:13], 16) / float(16**13)
+         for k in keys}
+    )
+    kept = us[:16]
+    est = float(len(kept)) if len(us) < 16 else 15.0 / kept[15]
+    assert r["n_kept"] == len(kept)
+    assert r["est"] == pytest.approx(round(est, 4))
