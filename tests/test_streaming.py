@@ -633,3 +633,77 @@ def test_generic_pattern_stream_restart_from_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert got == want == {("c1", 0): (3, 4)}
+
+
+def test_asof_stream_matches_batch_window(spark, tmp_path):
+    """Streaming as-of enrichment == the batch window form
+    (last assistant over UNBOUNDED PRECEDING..1 PRECEDING by turn_idx),
+    with out-of-order arrival and a tolerance-nulled stale match."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from arion_spark.streaming.asof import asof_stream
+
+    rows = [
+        _row("c1", 0, 0, "assistant"),
+        _row("c1", 1, 1, "user"),       # matches turn 0
+        _row("c1", 2, 2, "tool"),
+        _row("c1", 3, 3, "assistant"),
+        _row("c1", 4, 4, "user"),       # matches turn 3
+        _row("c2", 0, 0, "user"),       # no prior assistant -> null
+        _row("c2", 1, 1, "assistant"),
+        _row("c2", 2, 90, "user"),      # 89 min later: > 1h tolerance -> null
+    ]
+    replay = str(tmp_path / "replay_asof")
+    # out-of-order: c1 turn 3 (assistant) arrives after turn 4 (user)
+    _write_chunk(spark, rows[:3] + [rows[4]], f"{replay}/ch1")
+    _write_chunk(spark, [rows[3]] + rows[5:], f"{replay}/ch2")
+    _write_chunk(spark, [_row("zz", 0, 6000, "system")], f"{replay}/ch9")
+
+    q = (
+        asof_stream(read_replay_stream(spark, replay), tolerance_s=3600,
+                    watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("asof_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.conv_id, r.turn_idx): (r.asof_turn_idx, r.lag_s)
+        for r in spark.sql("select * from asof_out").collect()
+    }
+
+    t = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a_idx = F.last(
+        F.when(F.col("role") == "assistant", F.col("turn_idx")), ignorenulls=True
+    ).over(w)
+    a_ts = F.last(
+        F.when(F.col("role") == "assistant", F.col("ts")), ignorenulls=True
+    ).over(w)
+    lag = F.col("ts").cast("timestamp").cast("double") - F.col("a_ts").cast(
+        "timestamp"
+    ).cast("double")
+    batch = (
+        t.select("conv_id", "turn_idx", "role", "ts",
+                 a_idx.alias("a_idx"), a_ts.alias("a_ts"))
+        .where(F.col("role") == "user")
+        .select(
+            "conv_id", "turn_idx",
+            F.when(lag <= 3600, F.col("a_idx")).alias("a_idx"),
+            F.when(lag <= 3600, F.round(lag, 3)).alias("lag_s"),
+        )
+    )
+    want = {
+        (r.conv_id, r.turn_idx): (r.a_idx, r.lag_s) for r in batch.collect()
+    }
+    assert got == want
+    assert got[("c1", 4)] == (3, 1.0 * 60)   # matched across the OOO gap
+    assert got[("c2", 0)] == (None, None)
+    assert got[("c2", 2)] == (None, None)    # stale beyond tolerance
