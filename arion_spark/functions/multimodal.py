@@ -134,3 +134,46 @@ def frame_sample(df: DataFrame, every_ms: int = 500) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "payload", "kind")
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, resized_bytes int, "
+    "resized_md5 string"
+)
+
+
+def resize_media(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Payload 'resize' over Arrow batches: deterministic byte-stride
+    downsample to ≈``target_bytes`` (stride k = max(1, n // target),
+    keep offsets 0, k, 2k, …) — the codec-free stand-in for a thumbnail
+    resize (reference: src/models/resize.cpp does this with OpenCV).
+
+    The Spark-side plumbing is the real thing: binary payloads stay in
+    columnar Arrow batches through ``mapInPandas``, never row-ified; on
+    a cluster, swap the stride loop for cv2.resize and nothing else
+    changes.  The stride transform is pure bytes → SQL-expressible, so
+    the driver's oracle verifies the full path including the resized
+    content digest.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, r_bytes, r_md5 = [], [], []
+            for b in pdf["payload"]:
+                b = bytes(b or b"")
+                k = max(1, len(b) // target_bytes)
+                small = b[::k]
+                n_bytes.append(len(b))
+                r_bytes.append(len(small))
+                r_md5.append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                    "resized_bytes": pd.Series(r_bytes, dtype="int32"),
+                    "resized_md5": r_md5,
+                }
+            )
+
+    return df.mapInPandas(op, schema=RESIZE_SCHEMA)

@@ -1525,6 +1525,44 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload resize (byte-stride thumbnail stand-in) over Arrow
+    batches — the mapInPandas plumbing verified end-to-end including the
+    resized content digest (functions/multimodal.py::resize_media)."""
+    from arion_spark.functions import multimodal
+
+    return multimodal.resize_media(multimodal.synthetic_media(spark, 64))
+
+
+# payload rebuilt in SQL exactly as synthetic_media does; stride pick =
+# every k-th character of the ASCII-hex payload (k = n // 64)
+_SQL_MEDIA_RESIZE = """
+WITH ids AS (SELECT range::INT AS media_id FROM range(64)),
+p AS (
+  SELECT media_id,
+    CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+      AS kind,
+    list_aggregate(
+      list_transform(range(8), j -> md5(media_id::VARCHAR || ':' || j::VARCHAR)),
+      'string_agg', '') AS payload
+  FROM ids),
+r AS (
+  SELECT media_id, kind, payload,
+    greatest(length(payload) // 64, 1) AS k
+  FROM p),
+s AS (
+  SELECT media_id, kind, length(payload)::INT AS n_bytes,
+    list_aggregate(
+      list_transform(generate_series(1, length(payload), k),
+                     i -> substr(payload, i::INT, 1)),
+      'string_agg', '') AS small
+  FROM r)
+SELECT media_id::BIGINT AS media_id, kind, n_bytes,
+  length(small)::INT AS resized_bytes, md5(small) AS resized_md5
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
@@ -1559,6 +1597,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("topk_docs", q_topk_docs, _SQL_TOPK_DOCS),
     ("srp_ann", q_srp_ann, _sql_srp_ann()),
     ("media_features", q_media_features, _SQL_MEDIA_FEATURES),
+    ("media_resize", q_media_resize, _SQL_MEDIA_RESIZE),
     ("asof_join", q_asof_join, _SQL_ASOF_JOIN),
     ("cep_pattern", q_cep_pattern, _SQL_CEP_PATTERN),
     ("rollup_cascade", q_rollup_cascade, _SQL_ROLLUP_CASCADE),

@@ -44,3 +44,20 @@ def test_frame_sample_plan(spark):
     for r in got:
         duration = 1000 + r.media_id
         assert r["count"] == duration // 500 + 1
+
+
+def test_resize_media_stride_semantics(spark):
+    """256-byte payload → stride 4 → 64 bytes, md5 of exactly the
+    strided bytes; payload never row-ified (mapInPandas schema)."""
+    import hashlib
+
+    from arion_spark.functions import multimodal
+
+    df = multimodal.synthetic_media(spark, 6)
+    out = {r.media_id: r for r in multimodal.resize_media(df).collect()}
+    src = {r.media_id: bytes(r.payload) for r in df.collect()}
+    for mid, b in src.items():
+        small = b[:: max(1, len(b) // 64)]
+        assert out[mid].n_bytes == len(b) == 256
+        assert out[mid].resized_bytes == len(small) == 64
+        assert out[mid].resized_md5 == hashlib.md5(small).hexdigest()
