@@ -64,3 +64,23 @@ def read_replay_stream(
         .option("recursiveFileLookup", "true")
         .parquet(replay_dir)
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Source-side exactly-once guard: drop duplicate turns within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state per key
+    is evicted once the watermark passes, so unlike ``dropDuplicates``
+    the dedup state does NOT grow without bound on an infinite stream).
+
+    This is the first line of defense against at-least-once upstreams
+    (Kafka replays, Iceberg re-planned files); the MERGE sink
+    (streaming/sink.py) and the stateful operators' stale-replay drops
+    stay as the end-to-end guarantees.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

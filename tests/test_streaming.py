@@ -707,3 +707,28 @@ def test_asof_stream_matches_batch_window(spark, tmp_path):
     assert got[("c1", 4)] == (3, 1.0 * 60)   # matched across the OOO gap
     assert got[("c2", 0)] == (None, None)
     assert got[("c2", 2)] == (None, None)    # stale beyond tolerance
+
+
+def test_dedup_stream_drops_replayed_turns(spark, tmp_path):
+    """An at-least-once source replays a chunk: dedup_stream emits each
+    (conv_id, turn_idx) once; downstream fold output equals the clean run."""
+    from arion_spark.streaming.source import dedup_stream
+
+    rows = [_row("c1", i, i) for i in range(4)]
+    replay = str(tmp_path / "replay_dd")
+    _write_chunk(spark, rows[:2], f"{replay}/ch1")
+    _write_chunk(spark, rows[:3], f"{replay}/ch2")   # replays turns 0-1
+    _write_chunk(spark, rows[2:], f"{replay}/ch3")   # replays turn 2
+    q = (
+        dedup_stream(read_replay_stream(spark, replay), watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.conv_id, r.turn_idx) for r in spark.sql("select * from dd_out").collect()
+    )
+    assert got == [("c1", i) for i in range(4)]
