@@ -76,3 +76,69 @@ def kmv_distinct(
             4,
         ).alias("est"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    lo: float = 0.0,
+    hi: float = 3600.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles — the scale path for
+    percentiles.
+
+    Exact ``percentile()`` needs every value of a group on one node
+    (sort or full collect); at 100 TB that is the job.  A fixed-bin
+    histogram is an associative aggregate (bin counts add), so it
+    partial-aggregates map-side, merges in a tree, and — like the KMV
+    sketch above — its entire content is portable: the DuckDB oracle
+    reproduces the same bins, cumulative walk and linear interpolation
+    bit-for-bit (bin width chosen exactly representable when
+    ``(hi-lo)/n_bins`` is a dyadic rational, e.g. 3600/64 = 56.25).
+
+    Estimator: within the bin where the cumulative count crosses
+    ``q·total``, interpolate ``bin_lo + width·(target - cum_before)/
+    bin_count``.  Error ≤ one bin width; tighten with ``n_bins``.
+
+    Output: ``group_cols + (q, n, est)``; one row per (group, q).
+    """
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(F.floor((value - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = (
+        df.select(*group_cols, b.alias("_bin"))
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = counts.select(
+        *group_cols,
+        "_bin",
+        "_n",
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_cum"),
+        F.sum("_n").over(wt).alias("_total"),
+    )
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    hit = cum.select(*group_cols, "_bin", "_n", "_cum", "_total", qs).where(
+        (F.col("q") * F.col("_total") > F.col("_cum"))
+        & (F.col("q") * F.col("_total") <= F.col("_cum") + F.col("_n"))
+    )
+    est = F.lit(lo) + F.col("_bin") * F.lit(width) + F.lit(width) * (
+        F.col("q") * F.col("_total") - F.col("_cum")
+    ) / F.col("_n")
+    return hit.select(
+        *group_cols,
+        "q",
+        F.col("_total").alias("n"),
+        F.round(est, 4).alias("est"),
+    )

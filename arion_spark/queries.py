@@ -1563,6 +1563,70 @@ FROM s
 """
 
 
+def q_latency_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 of user→first-responder latency per hour via the MERGEABLE
+    fixed-bin histogram sketch (functions/sketch.py) — the scale
+    counterpart of response_latency's exact percentiles: bin counts
+    partial-aggregate map-side instead of sorting whole groups."""
+    t = transcripts_from_events(spark, sf_dir)
+    u = t.where(F.col("role") == "user").select(
+        F.col("conv_id").alias("u_conv"),
+        F.col("turn_idx").alias("u_turn_idx"),
+        F.col("ts").alias("u_ts"),
+    )
+    r = t.where(F.col("role").isin("assistant", "tool")).select(
+        F.col("conv_id").alias("r_conv"), F.col("ts").alias("r_ts")
+    )
+    cond = (
+        (F.col("u_conv") == F.col("r_conv"))
+        & (F.col("r_ts") >= F.col("u_ts"))
+        & (F.col("r_ts") < F.col("u_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    first = (
+        u.join(r, cond, "inner")
+        .groupBy("u_conv", "u_turn_idx", "u_ts")
+        .agg(F.min("r_ts").alias("first_r_ts"))
+    )
+    lat = first.select(
+        F.date_trunc("hour", "u_ts").alias("hour"),
+        (
+            F.col("first_r_ts").cast("timestamp").cast("double")
+            - F.col("u_ts").cast("timestamp").cast("double")
+        ).alias("v"),
+    )
+    return sketch.histogram_quantiles(lat, ["hour"], F.col("v"))
+
+
+_SQL_LATENCY_HIST = f"""{_T},
+first AS (
+  SELECT u.conv_id, u.turn_idx, u.ts AS u_ts, min(r.ts) AS first_r_ts
+  FROM transcripts u
+  JOIN transcripts r
+    ON r.conv_id = u.conv_id AND r.role IN ('assistant', 'tool')
+   AND r.ts >= u.ts AND r.ts < u.ts + INTERVAL 1 HOUR
+  WHERE u.role = 'user'
+  GROUP BY u.conv_id, u.turn_idx, u.ts),
+lat AS (
+  SELECT date_trunc('hour', u_ts) AS hour, epoch(first_r_ts) - epoch(u_ts) AS v
+  FROM first),
+bins AS (
+  SELECT hour, cast(least(greatest(floor(v / 56.25), 0), 63) AS INT) AS bin,
+    cast(count(*) AS BIGINT) AS bn
+  FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT hour, bin, bn,
+    cast(coalesce(sum(bn) OVER (PARTITION BY hour ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cm,
+    cast(sum(bn) OVER (PARTITION BY hour) AS BIGINT) AS total
+  FROM bins),
+qq AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q)
+SELECT hour, q, total AS n,
+  round(bin * 56.25 + 56.25 * (q * total - cm) / bn, 4) AS est
+FROM cum CROSS JOIN qq
+WHERE q * total > cm AND q * total <= cm + bn
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
@@ -1602,6 +1666,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("cep_pattern", q_cep_pattern, _SQL_CEP_PATTERN),
     ("rollup_cascade", q_rollup_cascade, _SQL_ROLLUP_CASCADE),
     ("kmv_distinct", q_kmv_distinct, _SQL_KMV_DISTINCT),
+    ("latency_hist_quantiles", q_latency_hist_quantiles, _SQL_LATENCY_HIST),
     ("stratified_sample", q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     ("corpus_prep", q_corpus_prep, _SQL_CORPUS_PREP),
     ("role_cube", q_role_cube, _SQL_ROLE_CUBE),

@@ -274,3 +274,32 @@ class TestGenericPattern:
     def test_bad_quantifier_rejected(self, spark):
         with pytest.raises(ValueError, match="quantifier"):
             cep.compile_pattern([("user", "*")])
+
+
+class TestHistogramQuantiles:
+    def test_estimate_within_one_bin_of_exact(self, spark):
+        from arion_spark.functions import sketch
+
+        vals = [("g", float(v)) for v in range(0, 2000)]  # uniform 0..1999
+        df = spark.createDataFrame(vals, "g string, v double")
+        out = {
+            r["q"]: r["est"]
+            for r in sketch.histogram_quantiles(
+                df, ["g"], F.col("v"), quantiles=(0.5, 0.95)
+            ).collect()
+        }
+        width = 3600.0 / 64
+        assert abs(out[0.5] - 1000.0) <= width
+        assert abs(out[0.95] - 1900.0) <= width
+
+    def test_out_of_range_values_clamp_to_edge_bins(self, spark):
+        from arion_spark.functions import sketch
+
+        df = spark.createDataFrame(
+            [("g", -50.0)] * 5 + [("g", 1e9)] * 5, "g string, v double"
+        )
+        out = {r["q"]: r for r in sketch.histogram_quantiles(
+            df, ["g"], F.col("v"), quantiles=(0.5,)).collect()}
+        # 5 low + 5 high: the 0.5 target falls in the LAST touched low bin
+        assert out[0.5]["n"] == 10
+        assert 0.0 <= out[0.5]["est"] <= 3600.0
