@@ -1627,6 +1627,101 @@ WHERE q * total > cm AND q * total <= cm + bn
 """
 
 
+def q_spike_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two classic relational shapes Spark has no operator for, composed:
+
+    1. **Gaps-and-islands**: contiguous runs of hot minutes (> 1.5× the
+       mean per-minute turn rate) merged into spike intervals via the
+       ``minute − row_number·60s`` island key — one window over the
+       tiny minute-aggregate table (at cluster scale, partition the
+       window by day; the aggregate is ~1e6 rows/year regardless of
+       input size).
+    2. **Binned range join**: every turn joined to the spike interval
+       containing it.  A pure range predicate (no equi key) would be a
+       BroadcastNestedLoopJoin; instead each interval explodes into its
+       minute bins and the join is an EQUI-join on the turn's minute
+       bin + a containment post-filter — the standard bin-bucketing
+       range-join decomposition (cost O(turns + interval-minutes), one
+       shuffle).
+    """
+    t = transcripts_from_events(spark, sf_dir)
+    m = t.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # global mean via an (empty-partition) window over the same tiny
+    # minute table the island detection sorts anyway — avoids a scalar
+    # broadcast join (which plans as BroadcastNestedLoopJoin)
+    w_all = Window.partitionBy()
+    avg_n = F.sum("n").over(w_all).cast("double") / F.count(F.lit(1)).over(w_all)
+    hot = m.select("m", "n", avg_n.alias("avg_n")).where(
+        F.col("n").cast("double") > 1.5 * F.col("avg_n")
+    )
+    w = Window.orderBy("m")
+    grp = (
+        F.col("m").cast("timestamp").cast("long")
+        - 60 * F.row_number().over(w)
+    ).alias("grp")
+    spikes = (
+        hot.select("m", "n", grp)
+        .groupBy("grp")
+        .agg(
+            F.min("m").alias("start"),
+            (F.max("m") + F.expr("INTERVAL 1 MINUTE")).alias("end"),
+            F.sum("n").alias("spike_turns"),
+        )
+    )
+    bins = spikes.select(
+        F.explode(
+            F.sequence(
+                F.col("start"),
+                F.col("end") - F.expr("INTERVAL 1 MINUTE"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("bin"),
+        "start",
+        "end",
+        "spike_turns",
+    )
+    tm = t.select(
+        "conv_id", "turn_idx", "ts", F.date_trunc("minute", "ts").alias("bin")
+    )
+    return (
+        tm.join(bins, "bin")
+        .where((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("start").alias("spike_start"),
+            "spike_turns",
+        )
+    )
+
+
+_SQL_SPIKE_RANGE_JOIN = f"""{_T},
+m AS (
+  SELECT date_trunc('minute', ts) AS m, cast(count(*) AS BIGINT) AS n
+  FROM transcripts GROUP BY 1),
+stats AS (SELECT sum(n)::DOUBLE / count(*) AS avg_n FROM m),
+hot AS (
+  SELECT m.m, m.n,
+    epoch(m.m)::BIGINT - 60 * row_number() OVER (ORDER BY m.m) AS grp
+  FROM m, stats WHERE m.n::DOUBLE > 1.5 * stats.avg_n),
+spikes AS (
+  SELECT min(m) AS start, max(m) + INTERVAL 1 MINUTE AS "end",
+    cast(sum(n) AS BIGINT) AS spike_turns
+  FROM hot GROUP BY grp),
+bins AS (
+  SELECT unnest(generate_series(start, "end" - INTERVAL 1 MINUTE,
+                                INTERVAL 1 MINUTE)) AS bin,
+    start, "end", spike_turns
+  FROM spikes)
+SELECT t.conv_id, t.turn_idx, b.start AS spike_start, b.spike_turns
+FROM transcripts t
+JOIN bins b ON date_trunc('minute', t.ts) = b.bin
+WHERE t.ts >= b.start AND t.ts < b."end"
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
@@ -1670,6 +1765,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("stratified_sample", q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     ("corpus_prep", q_corpus_prep, _SQL_CORPUS_PREP),
     ("role_cube", q_role_cube, _SQL_ROLE_CUBE),
+    ("spike_range_join", q_spike_range_join, _SQL_SPIKE_RANGE_JOIN),
 ]
 
 
