@@ -96,6 +96,12 @@ def compile_pattern(pattern) -> tuple[tuple[str, str], ...]:
     element's role — otherwise "stay in the run" vs "advance" is
     ambiguous and the single-partial NFA below would need backtracking.
     (MATCH_RECOGNIZE imposes the analogous greedy-determinism rule.)
+
+    A trailing ``+`` element is legal: its run is maximal-greedy and the
+    match completes when a non-matching role breaks the run (the breaker
+    is NOT part of the match and may start a new partial) or when the
+    conversation ends (batch: end of the sorted group; streaming:
+    event-time flush) — see ``_completable``.
     """
     pat = tuple((str(r), str(q)) for r, q in pattern)
     if not pat:
@@ -129,32 +135,50 @@ def _nfa_step(pat, pos: int, cnt: int, role: str):
     return None
 
 
+def _completable(pat, pos: int, cnt: int) -> bool:
+    """True when the active partial needs no further input to be a match:
+    the NFA sits on the FINAL element, it is a ``+``, and the run has
+    consumed ≥1 row.  Such a partial completes (ending at the last
+    consumed row) when the run breaks or the conversation ends — the only
+    way a trailing-``+`` pattern can ever finish, since ``_nfa_step``
+    cannot advance past the last element."""
+    return pos == len(pat) - 1 and pat[pos][1] == "+" and cnt >= 1
+
+
 def _run_nfa(pat, rows):
     """Run the NFA over in-order (turn_idx, role, ts) tuples; yields
     (start_idx, start_ts, end_idx, end_ts, n_turns) per match.
 
     Restart semantics (same as detect_user_tools_assistant): at most one
     active partial; a failing turn resets it and may itself start a new
-    partial.  Matches therefore never overlap.
+    partial.  Matches therefore never overlap.  A completable trailing-
+    ``+`` partial is emitted on break (ending at the last matched row —
+    the breaker is excluded and may start a new partial) and at
+    end-of-input.
     """
-    pos, cnt, start = 0, 0, None
+    pos, cnt, start, last = 0, 0, None, None
     for idx, role, ts in rows:
         if start is not None:
             nxt = _nfa_step(pat, pos, cnt, role)
             if nxt is not None:
                 pos, cnt = nxt
+                last = (idx, ts)
                 if pos == len(pat):
                     yield (start[0], start[1], idx, ts, idx - start[0] + 1)
                     pos, cnt, start = 0, 0, None
                 continue
+            if _completable(pat, pos, cnt):
+                yield (start[0], start[1], last[0], last[1], last[0] - start[0] + 1)
             pos, cnt, start = 0, 0, None
         nxt = _nfa_step(pat, 0, 0, role)
         if nxt is not None:
             pos, cnt = nxt
-            start = (idx, ts)
+            start = last = (idx, ts)
             if pos == len(pat):  # single-element pattern
                 yield (idx, ts, idx, ts, 1)
                 pos, cnt, start = 0, 0, None
+    if start is not None and _completable(pat, pos, cnt):
+        yield (start[0], start[1], last[0], last[1], last[0] - start[0] + 1)
 
 
 def match_pattern(t: DataFrame, pattern=DEFAULT_PATTERN) -> DataFrame:
@@ -177,33 +201,50 @@ def match_pattern(t: DataFrame, pattern=DEFAULT_PATTERN) -> DataFrame:
     def scan(batches):
         # rows within a partition arrive sorted by (conv_id, turn_idx);
         # carry the partial across Arrow batches, reset per conversation
+        # (flushing any completable trailing-'+' partial at the boundary)
         cur = None
-        pos, cnt, start = 0, 0, None
+        pos, cnt, start, last = 0, 0, None, None
         out_rows = []
+
+        def flush_partial():
+            if start is not None and _completable(pat, pos, cnt):
+                out_rows.append(
+                    (cur, start[0], start[1], last[0], last[1],
+                     last[0] - start[0] + 1)
+                )
+
         for pdf in batches:
             for conv, idx, role, ts in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["ts"]
             ):
                 if conv != cur:
+                    flush_partial()
                     cur, pos, cnt, start = conv, 0, 0, None
                 if start is not None:
                     nxt = _nfa_step(pat, pos, cnt, role)
                     if nxt is not None:
                         pos, cnt = nxt
+                        last = (idx, ts)
                         if pos == len(pat):
                             out_rows.append(
                                 (cur, start[0], start[1], idx, ts, idx - start[0] + 1)
                             )
                             pos, cnt, start = 0, 0, None
                         continue
+                    if _completable(pat, pos, cnt):
+                        out_rows.append(
+                            (cur, start[0], start[1], last[0], last[1],
+                             last[0] - start[0] + 1)
+                        )
                     pos, cnt, start = 0, 0, None
                 nxt = _nfa_step(pat, 0, 0, role)
                 if nxt is not None:
                     pos, cnt = nxt
-                    start = (idx, ts)
+                    start = last = (idx, ts)
                     if pos == len(pat):
                         out_rows.append((cur, idx, ts, idx, ts, 1))
                         pos, cnt, start = 0, 0, None
+        flush_partial()
         if out_rows:
             yield pd.DataFrame(
                 out_rows,

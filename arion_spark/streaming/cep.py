@@ -186,16 +186,19 @@ GENERIC_OUTPUT_SCHEMA = (
     "flushed boolean"
 )
 
-#: NFA registers (pos/cnt/start) + the same OOO buffer
+#: NFA registers (pos/cnt/start/last) + the same OOO buffer; last_* track
+#: the newest row consumed into the partial so a trailing-'+' match can
+#: complete on break/flush at the right end row
 GENERIC_STATE_SCHEMA = (
     "next_idx int, pos int, cnt int, start_idx int, start_ts long, "
+    "last_idx int, last_ts long, "
     "buf_idx array<int>, buf_role array<string>, buf_ts array<long>, "
     "max_ts long"
 )
 
 
 def _generic_processor(pattern, session_gap_ms: int):
-    from arion_spark.operators.cep import _nfa_step, compile_pattern
+    from arion_spark.operators.cep import _completable, _nfa_step, compile_pattern
 
     pat = compile_pattern(pattern)
     plen = len(pat)
@@ -207,10 +210,12 @@ def _generic_processor(pattern, session_gap_ms: int):
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
         if state.exists:
-            (next_idx, pos, cnt, start_idx, start_ts, bi, br, bts, max_ts) = state.get
+            (next_idx, pos, cnt, start_idx, start_ts,
+             last_idx, last_ts, bi, br, bts, max_ts) = state.get
             buf = {int(i): (r, t) for i, r, t in zip(bi, br, bts)}
         else:
             next_idx, pos, cnt, start_idx, start_ts = 0, 0, 0, -1, 0
+            last_idx, last_ts = -1, 0
             buf, max_ts = {}, 0
 
         flush = bool(state.hasTimedOut)
@@ -229,20 +234,24 @@ def _generic_processor(pattern, session_gap_ms: int):
 
         def feed(idx, role, ts_ms):
             # identical control flow to operators.cep._run_nfa
-            nonlocal pos, cnt, start_idx, start_ts
+            nonlocal pos, cnt, start_idx, start_ts, last_idx, last_ts
             if start_idx >= 0:
                 nxt = _nfa_step(pat, pos, cnt, role)
                 if nxt is not None:
                     pos, cnt = nxt
+                    last_idx, last_ts = idx, ts_ms
                     if pos == plen:
                         matches.append((start_idx, start_ts, idx, ts_ms))
                         pos, cnt, start_idx, start_ts = 0, 0, -1, 0
                     return
+                if _completable(pat, pos, cnt):
+                    matches.append((start_idx, start_ts, last_idx, last_ts))
                 pos, cnt, start_idx, start_ts = 0, 0, -1, 0
             nxt = _nfa_step(pat, 0, 0, role)
             if nxt is not None:
                 pos, cnt = nxt
                 start_idx, start_ts = idx, ts_ms
+                last_idx, last_ts = idx, ts_ms
                 if pos == plen:
                     matches.append((idx, ts_ms, idx, ts_ms))
                     pos, cnt, start_idx, start_ts = 0, 0, -1, 0
@@ -257,6 +266,11 @@ def _generic_processor(pattern, session_gap_ms: int):
             feed(idx, role, ts_ms)
             next_idx = idx + 1
 
+        if flush and start_idx >= 0 and _completable(pat, pos, cnt):
+            # end-of-conversation: a trailing-'+' run is maximal here
+            matches.append((start_idx, start_ts, last_idx, last_ts))
+            pos, cnt, start_idx, start_ts = 0, 0, -1, 0
+
         if flush and not buf:
             state.remove()
         else:
@@ -265,6 +279,7 @@ def _generic_processor(pattern, session_gap_ms: int):
                 (
                     int(next_idx), int(pos), int(cnt),
                     int(start_idx), int(start_ts),
+                    int(last_idx), int(last_ts),
                     [i for i, _ in items],
                     [v[0] for _, v in items],
                     [v[1] for _, v in items],

@@ -176,6 +176,39 @@ def test_cep_nfa_matches_brute_force(roles):
     assert got == _brute_force_default_pattern(roles)
 
 
+def _brute_force_trailing_plus(roles: list[str]) -> list[tuple[int, int]]:
+    """(start, end) of every maximal user→tool+ match — completes when the
+    tool run breaks or the sequence ends; written WITHOUT the NFA."""
+    out, i = [], 0
+    while i < len(roles):
+        if roles[i] == "user" and i + 1 < len(roles) and roles[i + 1] == "tool":
+            j = i + 1
+            while j + 1 < len(roles) and roles[j + 1] == "tool":
+                j += 1
+            out.append((i, j))
+            i = j + 1  # the breaker itself may start a new partial
+        else:
+            i += 1
+    return out
+
+
+@given(
+    st.lists(
+        st.sampled_from(["user", "assistant", "tool", "system"]),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cep_trailing_plus_matches_brute_force(roles):
+    from arion_spark.operators.cep import _run_nfa, compile_pattern
+
+    rows = [(i, r, float(i)) for i, r in enumerate(roles)]
+    pat = compile_pattern([("user", "1"), ("tool", "+")])
+    got = [(m[0], m[2]) for m in _run_nfa(pat, rows)]
+    assert got == _brute_force_trailing_plus(roles)
+
+
 # --------------------------------------------------------------------------
 # KMV estimator vs a pure-Python computation of the identical recipe
 

@@ -267,6 +267,36 @@ class TestGenericPattern:
         ]
         assert got == [1, 2]
 
+    def test_trailing_plus_completes_on_break(self, spark):
+        # user -> tool+ : the tool run is maximal; the breaking assistant
+        # turn ends the match (excluded) — previously emitted zero matches
+        roles = ["user", "tool", "tool", "assistant", "user", "tool", "user"]
+        t = _df(spark, [(r, 10.0 * i) for i, r in enumerate(roles)])
+        got = [
+            (r["start_turn_idx"], r["end_turn_idx"], r["n_turns"])
+            for r in cep.match_pattern(t, [("user", "1"), ("tool", "+")])
+                     .orderBy("start_turn_idx").collect()
+        ]
+        assert got == [(0, 2, 3), (4, 5, 2)]
+
+    def test_trailing_plus_completes_at_end_of_conversation(self, spark):
+        # run still open when the conversation ends -> flushed as a match
+        roles = ["system", "user", "tool", "tool"]
+        t = _df(spark, [(r, 10.0 * i) for i, r in enumerate(roles)])
+        got = [
+            (r["start_turn_idx"], r["end_turn_idx"])
+            for r in cep.match_pattern(t, [("user", "1"), ("tool", "+")]).collect()
+        ]
+        assert got == [(1, 3)]
+
+    def test_trailing_plus_nfa_unit(self):
+        # pure-Python NFA harness (same step function the stream uses)
+        pat = cep.compile_pattern([("user", "1"), ("tool", "+")])
+        rows = [(i, r, float(i)) for i, r in enumerate(
+            ["user", "tool", "tool", "assistant", "user", "tool"])]
+        got = [(m[0], m[2]) for m in cep._run_nfa(pat, rows)]
+        assert got == [(0, 2), (4, 5)]
+
     def test_ambiguous_pattern_rejected(self, spark):
         with pytest.raises(ValueError, match="ambiguous"):
             cep.compile_pattern([("tool", "+"), ("tool", "1")])

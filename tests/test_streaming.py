@@ -588,6 +588,53 @@ def test_generic_pattern_stream_matches_batch(spark, tmp_path):
     assert ("c1", 0) in got and ("c2", 1) in got
 
 
+def test_trailing_plus_pattern_stream_matches_batch(spark, tmp_path):
+    """A trailing-'+' pattern (user -> tool+) completes on run-break AND
+    on event-time flush; stream == batch for both completion paths."""
+    from arion_spark.operators import cep as op_cep
+    from arion_spark.streaming.cep import pattern_stream
+
+    pat = [("user", "1"), ("tool", "+")]
+    rows = [
+        _row("c1", 0, 0, "user"),
+        _row("c1", 1, 1, "tool"),
+        _row("c1", 2, 2, "tool"),
+        _row("c1", 3, 3, "assistant"),   # breaks the run -> match (0..2)
+        _row("c2", 0, 0, "user"),
+        _row("c2", 1, 1, "tool"),        # run open at end -> flush match (0..1)
+    ]
+    replay = str(tmp_path / "replay_tp")
+    # out-of-order: c1 turn 1 arrives after turn 2
+    _write_chunk(spark, [rows[0], rows[2], rows[3]], f"{replay}/ch1")
+    _write_chunk(spark, [rows[1]] + rows[4:], f"{replay}/ch2")
+    _write_chunk(spark, [_row("zz", 0, 6000, "system")], f"{replay}/ch9")
+
+    q = (
+        pattern_stream(read_replay_stream(spark, replay), pat, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("tp_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.conv_id, r.start_turn_idx): (r.end_turn_idx, r.n_turns)
+        for r in spark.sql("select * from tp_out").collect()
+    }
+    batch = {
+        (r.conv_id, r.start_turn_idx): (r.end_turn_idx, r.n_turns)
+        for r in op_cep.match_pattern(
+            spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), pat
+        ).collect()
+    }
+    assert got == batch == {("c1", 0): (2, 3), ("c2", 0): (1, 2)}
+    flushed = {
+        r.conv_id: r.flushed for r in spark.sql("select * from tp_out").collect()
+    }
+    assert flushed == {"c1": False, "c2": True}
+
+
 def test_generic_pattern_stream_restart_from_checkpoint(spark, tmp_path):
     """Generic NFA state round-trips through a checkpoint: kill between
     micro-batches, restart, union of emissions equals the uninterrupted
