@@ -319,6 +319,8 @@ def banded_srp_buckets_udf(dim: int, n_bands: int, n_planes: int):
     # explicit __annotations__: `from __future__ import annotations`
     # stringifies inline hints and pandas_udf can't resolve them here
     def buckets(vs):
+        if len(vs) == 0:  # empty Arrow batch: tolist() → 1-D (0,) array
+            return pd.Series([], dtype=object)
         V = np.asarray(vs.tolist(), dtype=np.float64)
         proj = np.zeros((V.shape[0], W.shape[1]))
         for d in range(dim):  # sequential over d == the fold's order
@@ -337,7 +339,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 16,
+    n_bands: int = 32,
     n_planes: int = 12,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b), a < b, cosine ≥
@@ -368,10 +370,16 @@ def cosine_near_dup_pairs(
     expression fold) — the HOF-expression form measured ~19 s for the
     assignment alone at 16×8 planes.
 
-    Recall: a true pair is missed only if it splits in *every* band —
-    P(miss) = (1 - (1 - θ/π)^n_planes)^n_bands; at the planted-dup
-    similarity here (cos ≈ 0.93, θ ≈ 21.6°) with 16 bands × 12 planes
-    that is ≈ (1 - 0.216)^16 ≈ 0.02.
+    Recall target: ≥ 0.995 for any pair at or above the 0.9 default
+    threshold.  A true pair is missed only if it splits in *every*
+    band — P(miss) = (1 - (1 - θ/π)^n_planes)^n_bands.  At exactly
+    cos = 0.9 (θ ≈ 25.8°, the worst in-threshold case) with the default
+    32 bands × 12 planes that is ≈ 0.844^32 ≈ 4e-3; at the planted-dup
+    similarity (cos ≈ 0.93) ≈ 4e-4.  The earlier 16-band default put
+    the worst case at ~6-7% miss — a silent recall cliff; doubling the
+    bands doubles only the narrow bucket-assign map and the candidate
+    explode, not the verify cost (duplicate candidates collapse in the
+    pair dedup).
     """
     bucketer = banded_srp_buckets_udf(dim, n_bands, n_planes)
     b = df.select(

@@ -994,7 +994,7 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cosine_near_dup(
-    dim: int = 64, n_bands: int = 16, n_planes: int = 12
+    dim: int = 64, n_bands: int = 32, n_planes: int = 12
 ) -> str:
     """Banded-SRP near-dup oracle.  The hyperplanes are *derived in SQL*
     from the same md5 recipe the Spark side uses

@@ -229,6 +229,14 @@ def test_kmeans_centroids_matches_numpy_lloyd(spark, vec_df):
         assert np.allclose(got[c + 1], cents[c], atol=1e-9), c
 
 
+def test_banded_srp_buckets_udf_empty_batch(spark):
+    """An empty Arrow batch must not crash the bucket UDF (np.asarray of
+    an empty list is 1-D and V[:, d] would raise IndexError)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.cosine_near_dup_pairs(empty, dim=8, threshold=0.9)
+    assert out.collect() == []
+
+
 def test_cosine_near_dup_pairs(spark, vec_df):
     """Planted duplicate (vector 100 = vector 0) is found; threshold
     excludes unrelated pairs exactly as numpy says.  The banded-SRP
