@@ -146,8 +146,17 @@ def watermark_udf(
       the previous per-character ``Series.map`` body at period 10
       (utf-32 variants were tried and are *slower* — the 4-byte
       round-trip costs more than it saves; see BASELINE.md).
-    * non-ASCII / ``adaptive``: per-row slice render (substring spans
-      between marks instead of a per-character list rebuild).
+    * ``adaptive`` + all-ASCII batch: brightness for every row is one
+      ``np.cumsum`` over an alnum lookup-table view of the joined
+      buffer (for ASCII, ``str.isalnum`` ≡ ``[0-9A-Za-z]``), the blend →
+      period map runs once per *unique* brightness via ``math.log10``
+      (numpy's log10 can differ from libm by 1 ULP, which could flip
+      ``floor(1/blend + 0.5)`` at a period boundary — the per-unique
+      loop keeps bit parity with the oracle at negligible cost), and
+      rows are rendered through the same single-pass batch renderer
+      bucketed by period.
+    * non-ASCII: per-row slice render (substring spans between marks
+      instead of a per-character list rebuild).
     """
     import math
 
@@ -184,22 +193,67 @@ def watermark_udf(
         out = a.tobytes().decode("ascii")
         return [out[s : s + n] for s, n in zip(starts, lens)]
 
+    # ASCII alnum lookup: for code points < 128, str.isalnum is exactly
+    # [0-9A-Za-z] — the uint8 view makes brightness a cumsum difference
+    _ALNUM = np.zeros(256, dtype=np.int64)
+    for _lo, _hi in ((48, 58), (65, 91), (97, 123)):
+        _ALNUM[_lo:_hi] = 1
+
+    def _blend_of(brightness: float) -> float:
+        return (max_amount - min_amount) * math.log10(
+            1 + 9 * brightness
+        ) + min_amount
+
+    def _render_batch_adaptive_ascii(texts: list[str], buf: bytes) -> list[str]:
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        a = np.frombuffer(buf, dtype=np.uint8)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        csum = np.concatenate([[0], np.cumsum(_ALNUM[a])])
+        brightness = (csum[starts + lens] - csum[starts]) / lens
+        ub, inv = np.unique(brightness, return_inverse=True)
+        blend = np.array([_blend_of(b) for b in ub], dtype=np.float64)[inv]
+        todo = blend > 0
+        out = list(texts)
+        if not todo.any():
+            return out
+        periods = np.ones_like(lens)
+        periods[todo] = np.maximum(
+            1, np.floor(1.0 / blend[todo] + 0.5)
+        ).astype(np.int64)
+        for period in np.unique(periods[todo]):
+            rows = np.nonzero(todo & (periods == period))[0]
+            sub = [texts[i] for i in rows]
+            subbuf = np.concatenate(
+                [a[starts[i] : starts[i] + lens[i]] for i in rows]
+            ).tobytes()
+            for i, r in zip(rows, _render_batch_ascii(sub, subbuf, int(period))):
+                out[i] = r
+        return out
+
+    def _one_adaptive(t: str) -> str:
+        brightness = sum(map(str.isalnum, t)) / len(t)
+        blend = _blend_of(brightness)
+        if blend <= 0:
+            return t
+        return _render(t, max(1, math.floor(1.0 / blend + 0.5)))
+
     @F.pandas_udf(T.StringType())
     def _wm(s: pd.Series) -> pd.Series:
         if wm_type == "adaptive":
-
-            def one(t: str) -> str:
-                if not t:
-                    return t
-                brightness = sum(map(str.isalnum, t)) / len(t)
-                blend = (max_amount - min_amount) * math.log10(
-                    1 + 9 * brightness
-                ) + min_amount
-                if blend <= 0:
-                    return t
-                return _render(t, max(1, math.floor(1.0 / blend + 0.5)))
-
-            return s.map(one, na_action="ignore")
+            vals = s.tolist()
+            texts = [t for t in vals if t]
+            if _mark_b is not None and texts:
+                big = "".join(texts)
+                buf = big.encode("utf-8")
+                if len(buf) == len(big):  # all-ASCII batch → numpy pass
+                    rendered = iter(_render_batch_adaptive_ascii(texts, buf))
+                    return pd.Series(
+                        [next(rendered) if t else t for t in vals], index=s.index
+                    )
+            return pd.Series(
+                [_one_adaptive(t) if t else t for t in vals], index=s.index
+            )
         if amount <= 0:
             return s
         period = max(1, math.floor(1.0 / amount + 0.5))
