@@ -284,9 +284,17 @@ def connected_components(
     shallow: a handful of hops).  Each round is one equi-join + one
     map-side-combinable min aggregation; labels are persisted per round
     and the previous round unpersisted, so the plan stays constant-size
-    (no lineage blow-up).  This is the standard large-graph CC shape —
-    at 10^10 vertices swap the driver-side convergence count for an
-    accumulator, nothing else changes.
+    (no lineage blow-up).
+
+    Convergence is detected inside the round's ONE action: the step join
+    emits a ``chg`` flag (new label strictly smaller than old), and
+    ``count_if(chg)`` both materializes the round's persisted labels and
+    returns the changed count — no separate old-vs-new join and no
+    second action.  (A SparkContext accumulator would be the textbook
+    alternative, but in PySpark an accumulator can only be bumped from
+    Python-side task code — a row-at-a-time foreach/UDF in the hot
+    path — whereas the flag aggregate is JVM map-side-combined and
+    costs one boolean column.)
 
     Deterministic: min() is order-insensitive, so the fixpoint is unique
     regardless of execution order — the DuckDB recursive-CTE oracle
@@ -310,15 +318,13 @@ def connected_components(
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # single action: materializes the persisted round AND returns
+        # the convergence signal
+        changed = new_labels.agg(F.count_if("chg")).first()[0]
         labels.unpersist()
         labels = new_labels
         if changed == 0:
