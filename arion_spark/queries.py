@@ -1627,15 +1627,80 @@ WHERE q * total > cm AND q * total <= cm + bn
 """
 
 
+def spike_intervals(t: DataFrame) -> DataFrame:
+    """Day-partitioned gaps-and-islands spike detection over a
+    transcript-shaped frame (needs a ``ts`` column); returns one row per
+    spike interval: (start, end, spike_turns).  See
+    :func:`q_spike_range_join` for the scale analysis."""
+    m = t.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).withColumn("day", F.date_trunc("day", "m"))
+    day_stats = m.groupBy("day").agg(
+        F.sum("n").alias("dn"), F.count(F.lit(1)).alias("dc")
+    )
+    w_all = Window.partitionBy()
+    day_avg = day_stats.select(
+        "day",
+        (F.sum("dn").over(w_all).cast("double") / F.sum("dc").over(w_all)).alias(
+            "avg_n"
+        ),
+    )
+    hot = m.join(day_avg, "day").where(
+        F.col("n").cast("double") > 1.5 * F.col("avg_n")
+    )
+    w_day = Window.partitionBy("day").orderBy("m")
+    grp = (
+        F.col("m").cast("timestamp").cast("long")
+        - 60 * F.row_number().over(w_day)
+    ).alias("grp")
+    day_islands = (
+        hot.select("day", "m", "n", grp)
+        .groupBy("day", "grp")
+        .agg(
+            F.min("m").alias("start"),
+            (F.max("m") + F.expr("INTERVAL 1 MINUTE")).alias("end"),
+            F.sum("n").alias("spike_turns"),
+        )
+    )
+    # cross-midnight stitch over island summaries (tiny by construction)
+    w_isl = Window.orderBy("start")
+    prev_end = F.lag("end").over(w_isl)
+    stitched = day_islands.select("start", "end", "spike_turns").withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (prev_end != F.col("start")), 1).otherwise(0),
+    )
+    return (
+        stitched.withColumn(
+            "isl",
+            F.sum("new_isl").over(
+                w_isl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("isl")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+            F.sum("spike_turns").alias("spike_turns"),
+        )
+    )
+
+
 def q_spike_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two classic relational shapes Spark has no operator for, composed:
 
-    1. **Gaps-and-islands**: contiguous runs of hot minutes (> 1.5× the
-       mean per-minute turn rate) merged into spike intervals via the
-       ``minute − row_number·60s`` island key — one window over the
-       tiny minute-aggregate table (at cluster scale, partition the
-       window by day; the aggregate is ~1e6 rows/year regardless of
-       input size).
+    1. **Gaps-and-islands, day-partitioned**: contiguous runs of hot
+       minutes (> 1.5× the mean per-minute turn rate) merged into spike
+       intervals via the ``minute − row_number·60s`` island key.  No
+       single task ever sorts the full minute history: the window is
+       ``partitionBy(day)``, and islands that touch midnight are
+       stitched in a second pass whose global window runs over ISLAND
+       SUMMARIES only (two distinct islands inside one day always have
+       a gap, so adjacency — prev.end == cur.start — can only occur at
+       a day boundary).  The global mean likewise never funnels the
+       minute table into one task: per-day partials → a global window
+       over the ~365-rows/year day table → broadcast hash equi-join
+       back on day (a scalar cross join would plan as
+       BroadcastNestedLoopJoin, which the plan guard forbids).
     2. **Binned range join**: every turn joined to the spike interval
        containing it.  A pure range predicate (no equi key) would be a
        BroadcastNestedLoopJoin; instead each interval explodes into its
@@ -1645,31 +1710,7 @@ def q_spike_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        shuffle).
     """
     t = transcripts_from_events(spark, sf_dir)
-    m = t.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    # global mean via an (empty-partition) window over the same tiny
-    # minute table the island detection sorts anyway — avoids a scalar
-    # broadcast join (which plans as BroadcastNestedLoopJoin)
-    w_all = Window.partitionBy()
-    avg_n = F.sum("n").over(w_all).cast("double") / F.count(F.lit(1)).over(w_all)
-    hot = m.select("m", "n", avg_n.alias("avg_n")).where(
-        F.col("n").cast("double") > 1.5 * F.col("avg_n")
-    )
-    w = Window.orderBy("m")
-    grp = (
-        F.col("m").cast("timestamp").cast("long")
-        - 60 * F.row_number().over(w)
-    ).alias("grp")
-    spikes = (
-        hot.select("m", "n", grp)
-        .groupBy("grp")
-        .agg(
-            F.min("m").alias("start"),
-            (F.max("m") + F.expr("INTERVAL 1 MINUTE")).alias("end"),
-            F.sum("n").alias("spike_turns"),
-        )
-    )
+    spikes = spike_intervals(t)
     bins = spikes.select(
         F.explode(
             F.sequence(

@@ -333,3 +333,50 @@ class TestHistogramQuantiles:
         # 5 low + 5 high: the 0.5 target falls in the LAST touched low bin
         assert out[0.5]["n"] == 10
         assert 0.0 <= out[0.5]["est"] <= 3600.0
+
+
+class TestSpikeIntervals:
+    """Day-partitioned gaps-and-islands: a spike spanning midnight must
+    come back as ONE stitched interval, identical to what a single
+    global window would produce."""
+
+    def _t(self, spark, minutes_counts):
+        rows = []
+        turn = 0
+        for m, n in minutes_counts:
+            for k in range(n):
+                rows.append(("c", turn, "user", "x", None,
+                             m + timedelta(seconds=k % 60)))
+                turn += 1
+        return spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+    def test_cross_midnight_island_is_stitched(self, spark):
+        from arion_spark.queries import spike_intervals
+
+        base = datetime(2024, 3, 1, 0, 0, 0)
+        # 2 days of 1-turn background minutes + a hot run 23:58..00:01
+        mins = [(base + timedelta(minutes=i), 1) for i in range(0, 2880, 7)]
+        hot0 = datetime(2024, 3, 1, 23, 58, 0)
+        mins += [(hot0 + timedelta(minutes=i), 50) for i in range(4)]
+        got = [
+            (r["start"], r["end"], r["spike_turns"])
+            for r in spike_intervals(self._t(spark, mins))
+            .orderBy("start").collect()
+        ]
+        want_turns = sum(
+            n for m, n in mins if hot0 <= m < hot0 + timedelta(minutes=4)
+        )
+        assert got == [(hot0, hot0 + timedelta(minutes=4), want_turns)]
+        s, e, _ = got[0]
+        assert s.day == 1 and e.day == 2  # genuinely crosses midnight
+
+    def test_same_day_islands_stay_separate(self, spark):
+        from arion_spark.queries import spike_intervals
+
+        base = datetime(2024, 3, 1, 0, 0, 0)
+        mins = [(base + timedelta(minutes=i), 1) for i in range(0, 1440, 7)]
+        mins += [(base + timedelta(hours=6, minutes=i), 40) for i in range(2)]
+        mins += [(base + timedelta(hours=9, minutes=i), 40) for i in range(3)]
+        got = spike_intervals(self._t(spark, mins)).orderBy("start").collect()
+        assert [r["start"].hour for r in got] == [6, 9]
+        assert [(r["end"] - r["start"]).total_seconds() / 60 for r in got] == [2.0, 3.0]
