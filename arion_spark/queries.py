@@ -513,30 +513,46 @@ GROUP BY u.conv_id, u.turn_idx
 """
 
 
+def first_response(t: DataFrame, horizon: str = "1 HOUR") -> DataFrame:
+    """(conv_id, turn_idx, u_ts, first_r_ts) for every user turn answered
+    by an assistant/tool turn within ``horizon``.
+
+    Built on the forward union-merge as-of join (operators/asof.py): ONE
+    shuffle on conv_id + an in-partition sort, cost independent of how
+    many responder turns follow each user turn — replacing the earlier
+    range-join(+min) encoding, whose intermediate size was O(user turns ×
+    responders within horizon).  The earliest at-or-after responder is
+    then horizon-filtered with the strict ``<`` bound the range form
+    used: if the globally earliest responder is outside the horizon,
+    no in-horizon responder exists, so the row sets are identical.
+    """
+    u = t.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    r = t.where(F.col("role").isin("assistant", "tool")).select(
+        "conv_id", "turn_idx", "ts"
+    )
+    j = op_asof.asof_join(
+        u, r, on="conv_id", ts="ts", ord_col="turn_idx", direction="forward"
+    )
+    return j.where(
+        F.col("asof_ts").isNotNull()
+        & (F.col("asof_ts") < F.col("ts") + F.expr(f"INTERVAL {horizon}"))
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("ts").alias("u_ts"),
+        F.col("asof_ts").alias("first_r_ts"),
+    )
+
+
 def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User→first-responder latency percentiles per hour — the CEP
     analytics twin of streaming.join.user_response_join + a windowed
     aggregate (exact interpolated percentiles, not approx, so the
-    DuckDB oracle can reproduce them)."""
+    DuckDB oracle can reproduce them).  First-response detection runs on
+    the union-merge as-of join — see :func:`first_response`."""
     t = transcripts_from_events(spark, sf_dir)
-    u = t.where(F.col("role") == "user").select(
-        F.col("conv_id").alias("u_conv"),
-        F.col("turn_idx").alias("u_turn_idx"),
-        F.col("ts").alias("u_ts"),
-    )
-    r = t.where(F.col("role").isin("assistant", "tool")).select(
-        F.col("conv_id").alias("r_conv"), F.col("ts").alias("r_ts")
-    )
-    cond = (
-        (F.col("u_conv") == F.col("r_conv"))
-        & (F.col("r_ts") >= F.col("u_ts"))
-        & (F.col("r_ts") < F.col("u_ts") + F.expr("INTERVAL 1 HOUR"))
-    )
-    first = (
-        u.join(r, cond, "inner")
-        .groupBy("u_conv", "u_turn_idx", "u_ts")
-        .agg(F.min("r_ts").alias("first_r_ts"))
-    )
+    first = first_response(t)
+
     # fractional seconds: unix_timestamp truncates millis, DuckDB epoch()
     # keeps them — go through TIMESTAMP (session tz is UTC) to double
     def _epoch(c):
@@ -1569,24 +1585,7 @@ def q_latency_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of response_latency's exact percentiles: bin counts
     partial-aggregate map-side instead of sorting whole groups."""
     t = transcripts_from_events(spark, sf_dir)
-    u = t.where(F.col("role") == "user").select(
-        F.col("conv_id").alias("u_conv"),
-        F.col("turn_idx").alias("u_turn_idx"),
-        F.col("ts").alias("u_ts"),
-    )
-    r = t.where(F.col("role").isin("assistant", "tool")).select(
-        F.col("conv_id").alias("r_conv"), F.col("ts").alias("r_ts")
-    )
-    cond = (
-        (F.col("u_conv") == F.col("r_conv"))
-        & (F.col("r_ts") >= F.col("u_ts"))
-        & (F.col("r_ts") < F.col("u_ts") + F.expr("INTERVAL 1 HOUR"))
-    )
-    first = (
-        u.join(r, cond, "inner")
-        .groupBy("u_conv", "u_turn_idx", "u_ts")
-        .agg(F.min("r_ts").alias("first_r_ts"))
-    )
+    first = first_response(t)
     lat = first.select(
         F.date_trunc("hour", "u_ts").alias("hour"),
         (
