@@ -48,6 +48,52 @@ def uniform_hash(key: Column) -> Column:
     )
 
 
+def _k_smallest(sk: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """k smallest distinct ``_u`` per group — the sketch normal form.
+    Works identically on raw hashes and on unions of sketches (the KMV
+    merge), and is idempotent: re-merging replayed rows is a no-op."""
+    w = Window.partitionBy(*group_cols).orderBy("_u")
+    return (
+        sk.distinct()
+        .select(*group_cols, "_u", F.row_number().over(w).alias("_rn"))
+        .where(F.col("_rn") <= k)
+        .select(*group_cols, "_u")
+    )
+
+
+def kmv_partial(
+    df: DataFrame, group_cols: list[str], key: Column, k: int = 64
+) -> DataFrame:
+    """The sketch itself: ``group_cols + _u`` (≤ k rows per group).
+    This is what a partial aggregate / streaming micro-batch produces."""
+    return _k_smallest(
+        df.select(*group_cols, uniform_hash(key).alias("_u")), group_cols, k
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Sketch of the union: k smallest of both sketches — associative,
+    commutative, idempotent, bounded (the streaming-rollup merge)."""
+    return _k_smallest(a.unionByName(b), group_cols, k)
+
+
+def kmv_estimate(
+    sk: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Finalize a sketch into ``group_cols + (n_kept, est)``."""
+    return sk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.round(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.max("_u")
+            ),
+            4,
+        ).alias("est"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -58,24 +104,9 @@ def kmv_distinct(
 
     ``n_kept`` = min(k, exact distinct count); ``est`` = exact when the
     group holds fewer than k distinct keys, else (k-1)/u_k.
+    Composition of the mergeable stages: partial → estimate.
     """
-    hashed = (
-        df.select(*group_cols, uniform_hash(key).alias("_u"))
-        .distinct()  # md5 is injective here for our purposes: dedup hashes
-    )
-    w = Window.partitionBy(*group_cols).orderBy("_u")
-    kept = hashed.select(
-        *group_cols, "_u", F.row_number().over(w).alias("_rn")
-    ).where(F.col("_rn") <= k)
-    return kept.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-        F.round(
-            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
-                F.lit(float(k - 1)) / F.max("_u")
-            ),
-            4,
-        ).alias("est"),
-    )
+    return kmv_estimate(kmv_partial(df, group_cols, key, k), group_cols, k)
 
 
 def histogram_quantiles(
@@ -104,17 +135,60 @@ def histogram_quantiles(
     bin_count``.  Error ≤ one bin width; tighten with ``n_bins``.
 
     Output: ``group_cols + (q, n, est)``; one row per (group, q).
+    Composition of the mergeable stages: counts → quantiles-from-counts.
     """
+    counts = histogram_counts(df, group_cols, value, lo, hi, n_bins)
+    return histogram_quantiles_from_counts(
+        counts, group_cols, quantiles, lo, hi, n_bins
+    )
+
+
+def histogram_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    lo: float = 0.0,
+    hi: float = 3600.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """The sketch itself: ``group_cols + (_bin, _n)`` bin counts — what a
+    partial aggregate / streaming micro-batch produces.  Values clamp to
+    the edge bins."""
     width = (hi - lo) / n_bins
     b = F.least(
         F.greatest(F.floor((value - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("int")
-    counts = (
+    return (
         df.select(*group_cols, b.alias("_bin"))
         .groupBy(*group_cols, "_bin")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
     )
+
+
+def histogram_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Bin counts add — associative/commutative bounded merge.  NOT
+    idempotent (unlike KMV), so replay protection must come from the
+    caller's commit log (streaming/rollup.SketchSink)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "_bin")
+        .agg(F.sum("_n").cast("long").alias("_n"))
+    )
+
+
+def histogram_quantiles_from_counts(
+    counts: DataFrame,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    lo: float = 0.0,
+    hi: float = 3600.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Finalize bin counts into ``group_cols + (q, n, est)``."""
+    width = (hi - lo) / n_bins
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("_bin")

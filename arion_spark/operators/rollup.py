@@ -34,16 +34,27 @@ from pyspark.sql import functions as F
 GRAINS = (("minute", "minute"), ("hour", "hour"), ("day", "day"))
 
 
+#: measure column names, in output order
+MEASURES = ("n_turns", "n_user_turns", "sum_chars", "max_text_len")
+
+
+def measure_aggs() -> list:
+    """The decomposable finest-grain measures — shared by the batch base
+    aggregate and the streaming windowed aggregate
+    (streaming/rollup.minute_rollup_stream), so both grains are
+    definitionally identical."""
+    return [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("bigint")).alias("n_user_turns"),
+        F.sum(F.length("text").cast("bigint")).alias("sum_chars"),
+        F.max(F.length("text")).alias("max_text_len"),
+    ]
+
+
 def _base(t: DataFrame) -> DataFrame:
     """Finest-grain aggregate: the ONLY pass over raw rows."""
-    return (
-        t.groupBy(F.date_trunc("minute", "ts").alias("bucket_ts"))
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.sum((F.col("role") == "user").cast("bigint")).alias("n_user_turns"),
-            F.sum(F.length("text").cast("bigint")).alias("sum_chars"),
-            F.max(F.length("text")).alias("max_text_len"),
-        )
+    return t.groupBy(F.date_trunc("minute", "ts").alias("bucket_ts")).agg(
+        *measure_aggs()
     )
 
 
@@ -60,9 +71,11 @@ def _reagg(finer: DataFrame, unit: str) -> DataFrame:
     )
 
 
-def cascade(t: DataFrame) -> DataFrame:
-    """Minute→hour→day cascade as one DataFrame with a ``grain`` column."""
-    minute = _base(t)
+def cascade_from_minute(minute: DataFrame) -> DataFrame:
+    """Hour/day grains re-aggregated from an existing minute grain —
+    shared by the batch cascade and the streaming continuous aggregate
+    (streaming/rollup.py), whose minute table is the MERGE sink of the
+    windowed agg."""
     hour = _reagg(minute, "hour")
     day = _reagg(hour, "day")
     out = None
@@ -70,3 +83,8 @@ def cascade(t: DataFrame) -> DataFrame:
         tagged = df.select(F.lit(label).alias("grain"), "*")
         out = tagged if out is None else out.unionByName(tagged)
     return out
+
+
+def cascade(t: DataFrame) -> DataFrame:
+    """Minute→hour→day cascade as one DataFrame with a ``grain`` column."""
+    return cascade_from_minute(_base(t))

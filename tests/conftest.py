@@ -13,7 +13,20 @@ from arion_spark.transcripts import TRANSCRIPT_SCHEMA, py_rows  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("arion_spark_tests", cpus=8, extra_conf={"spark.driver.memory": "8g"})
+    s = get_spark(
+        "arion_spark_tests",
+        cpus=8,
+        extra_conf={
+            "spark.driver.memory": "8g",
+            # run EVERY streaming test (soak, restart, CEP, rollup) against
+            # the state store a real cluster uses, not the default
+            # HDFS-backed one — checkpoint/restart guarantees are proven
+            # under RocksDB
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+        },
+    )
     yield s
     s.stop()
 
