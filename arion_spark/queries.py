@@ -613,6 +613,44 @@ FROM transcripts GROUP BY conv_id
 """
 
 
+def q_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact×dim equi-join (operators/skewjoin.salted_join): the
+    per-conversation dim is replicated ``buckets``× and the fact side
+    salted, so a hot conv_id spreads over ``buckets`` reduce tasks.  The
+    oracle runs the PLAIN join — salting must be row-invisible.  At test
+    scale Spark broadcasts the dim anyway; at 100 TB (dim above the
+    broadcast threshold) the salted shuffle join is the plan, measured in
+    tools/bench_skew.py."""
+    from arion_spark.operators.skewjoin import salted_join
+
+    t = transcripts_from_events(spark, sf_dir)
+    dim = t.groupBy("conv_id").agg(
+        F.min("ts").alias("conv_start"),
+        F.count(F.lit(1)).cast("int").alias("conv_turns"),
+    )
+    joined = salted_join(t.select("conv_id", "turn_idx", "ts"), dim, "conv_id")
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        F.floor(
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("conv_start").cast("timestamp").cast("double")
+        ).cast("int").alias("secs_into_conv"),
+        "conv_turns",
+    )
+
+
+_SQL_SALTED_DIM_JOIN = f"""{_T},
+dim AS (
+  SELECT conv_id, min(ts) AS conv_start, cast(count(*) AS INT) AS conv_turns
+  FROM transcripts GROUP BY conv_id)
+SELECT t.conv_id, t.turn_idx,
+  cast(floor(epoch(t.ts) - epoch(d.conv_start)) AS INT) AS secs_into_conv,
+  d.conv_turns
+FROM transcripts t JOIN dim d ON t.conv_id = d.conv_id
+"""
+
+
 # -- training-data pipeline ops over documents / embeddings ------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1778,6 +1816,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("interval_join", q_interval_join, _SQL_INTERVAL_JOIN),
     ("response_latency", q_response_latency, _SQL_RESPONSE_LATENCY),
     ("salted_conv_stats", q_salted_conv_stats, _SQL_SALTED_CONV_STATS),
+    ("salted_dim_join", q_salted_dim_join, _SQL_SALTED_DIM_JOIN),
     ("dedup_exact", q_dedup_exact, _SQL_DEDUP_EXACT),
     ("docs_quality", q_docs_quality, _SQL_DOCS_QUALITY),
     ("minhash_signatures", q_minhash_signatures, _SQL_MINHASH),
