@@ -1,8 +1,10 @@
 """Exactly-once MERGE sink: ``foreachBatch`` + parquet + commit log.
 
-Iceberg jars are not available in this sandbox, so MERGE-on-key
-exactly-once is implemented with the same contract Iceberg's
-``MERGE INTO (conv_id, turn_idx)`` would give (SURVEY.md §7 M5 fallback):
+Iceberg jars are not available in this sandbox (re-checked 2026-08-17:
+no iceberg/delta/hudi jar in the pyspark distribution, Maven Central
+unreachable — no network), so MERGE-on-key exactly-once is implemented
+with the same contract Iceberg's ``MERGE INTO (conv_id, turn_idx)``
+would give (SURVEY.md §7 M5 fallback):
 
   * each micro-batch writes to its own directory ``data/batch=<id>/``
     (overwrite → the write itself is idempotent under task retry),
