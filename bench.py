@@ -48,6 +48,7 @@ HEADLINE = [
     "tumbling_hour",
     "interval_join",
     "salted_conv_stats",
+    "salted_dim_join",
     "dedup_exact",
     "docs_quality",
     "minhash_signatures",
@@ -142,6 +143,28 @@ def bench_streaming(spark, n_turns: int) -> dict:
 
         s = cap.summary()
         out_rows = sum(c["rows"] for c in sink.lineage())
+
+        # round-3 flagship: the continuous minute→hour→day aggregate over
+        # the same replay (windowed agg → per-batch MERGE → cascade read,
+        # the query a live dashboard would run)
+        from arion_spark.streaming.rollup import run_rollup_stream
+
+        wrq, _ = run_rollup_stream(
+            spark, f"{work}/warm_replay", f"{work}/warm_roll",
+            f"{work}/warm_roll_ckpt",
+        )
+        wrq.processAllAvailable()
+        wrq.stop()
+        t0 = time.perf_counter()
+        rq, roll = run_rollup_stream(
+            spark, f"{work}/replay", f"{work}/roll_out", f"{work}/roll_ckpt",
+            max_files_per_trigger=8,
+        )
+        rq.processAllAvailable()
+        rq.stop()
+        _run_to_noop(roll.read_cascade(spark))
+        roll_wall = time.perf_counter() - t0
+
         return {
             "streaming_replay_sec": round(wall, 3),
             "turns": n_turns,
@@ -150,6 +173,8 @@ def bench_streaming(spark, n_turns: int) -> dict:
             "p95_batch_ms": s["p95_batch_ms"],
             "n_batches": s["n_batches"],
             "max_state_rows": s["max_state_rows"],
+            "streaming_rollup_sec": round(roll_wall, 3),
+            "rollup_turns_per_sec": round(n_turns / roll_wall, 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -172,6 +197,7 @@ def main() -> None:
 
     queries = dict(batch)
     queries["streaming_replay"] = stream["streaming_replay_sec"]
+    queries["streaming_rollup"] = stream["streaming_rollup_sec"]
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
