@@ -216,3 +216,88 @@ def histogram_quantiles_from_counts(
         F.col("_total").alias("n"),
         F.round(est, 4).alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (top-k terms) — the third classical mergeable summary,
+# after distinct count (KMV) and quantiles (fixed-bin histogram)
+
+
+def topk_terms_counts(
+    df: DataFrame, group_cols: list[str], term: Column
+) -> DataFrame:
+    """Exact per-group term counts: ``group_cols + (_term, _n)``.  The
+    groupBy partial-aggregates map-side, so the shuffle carries one row
+    per (group, term) per map task — not raw rows."""
+    return (
+        df.select(*group_cols, term.alias("_term"))
+        .groupBy(*group_cols, "_term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+
+
+def _truncate_topk(counts: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Keep each group's k heaviest terms (ties broken by term asc —
+    fully deterministic, so cross-engine/oracle comparable)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_n"), F.asc("_term")
+    )
+    return (
+        counts.select(*group_cols, "_term", "_n",
+                      F.row_number().over(w).alias("_rn"))
+        .where(F.col("_rn") <= k)
+        .select(*group_cols, "_term", "_n")
+    )
+
+
+def topk_terms_partial(
+    df: DataFrame, group_cols: list[str], term: Column, k: int = 64
+) -> DataFrame:
+    """The bounded summary a micro-batch / partial-aggregate produces:
+    exact counts truncated to the k heaviest terms per group
+    (SpaceSaving-flavored; we drop the tail instead of folding it into
+    counters, which keeps every kept count EXACT for that partial)."""
+    return _truncate_topk(topk_terms_counts(df, group_cols, term), group_cols, k)
+
+
+def topk_terms_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge two summaries: add counts of shared terms, re-truncate.
+    Associative and bounded (≤ k rows/group).  Approximation contract:
+    a term absent from one side's top-k loses that side's count, so a
+    merged count is a LOWER bound with error ≤ the sum of the dropped
+    sides' k-th counts; it is EXACT whenever every input partial kept
+    all its distinct terms (≤ k per group per partial) — the regime the
+    streaming twin test pins, and the regime to size k for (vocab-level
+    k ≫ per-batch distinct terms of any hot group)."""
+    merged = (
+        a.unionByName(b)
+        .groupBy(*group_cols, "_term")
+        .agg(F.sum("_n").cast("long").alias("_n"))
+    )
+    return _truncate_topk(merged, group_cols, k)
+
+
+def topk_terms(
+    df: DataFrame, group_cols: list[str], term: Column, k: int = 10
+) -> DataFrame:
+    """One-shot EXACT top-k heavy hitters per group (rank included):
+    ``group_cols + (term, n, rank)``.  This is the batch form — exact
+    because nothing was truncated before the final ranking; the
+    streaming form merges ``topk_terms_partial`` summaries instead
+    (streaming/rollup.run_topk_stream)."""
+    counts = topk_terms_counts(df, group_cols, term)
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("_n"), F.asc("_term"))
+    return (
+        counts.select(
+            *group_cols, "_term", "_n", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select(
+            *group_cols,
+            F.col("_term").alias("term"),
+            F.col("_n").cast("int").alias("n"),
+            "rank",
+        )
+    )

@@ -1332,6 +1332,37 @@ FROM e JOIN s ON e.hour = s.hour
 """
 
 
+def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: exact top-5 whitespace tokens per hour (count
+    desc, term asc — fully deterministic).  Batch form of the third
+    mergeable summary (functions/sketch.topk_terms); the streaming
+    deployment merges truncated-count partials instead
+    (streaming/rollup.run_topk_stream, twin-parity tested)."""
+    t = transcripts_from_events(spark, sf_dir)
+    toks = t.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.explode(F.split("text", r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    out = sketch.topk_terms(toks, ["hour"], F.col("tok"), k=5)
+    return out.select("hour", "term", "n", F.col("rank").alias("rnk"))
+
+
+_SQL_TOPK_TERMS = f"""{_T},
+toks AS (
+  SELECT date_trunc('hour', ts) AS hour, t.tok AS term
+  FROM transcripts, unnest(string_split_regex(text, '\\s+')) AS t(tok)
+  WHERE t.tok <> ''),
+counts AS (
+  SELECT hour, term, count(*) AS n FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT hour, term, n,
+    row_number() OVER (PARTITION BY hour ORDER BY n DESC, term) AS rnk
+  FROM counts)
+SELECT hour, term, cast(n AS INT) AS n, cast(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling: keep a doc iff its 52-bit
     md5-derived uniform hash falls under the stratum's rate — stable
@@ -1840,6 +1871,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("cep_pattern", q_cep_pattern, _SQL_CEP_PATTERN),
     ("rollup_cascade", q_rollup_cascade, _SQL_ROLLUP_CASCADE),
     ("kmv_distinct", q_kmv_distinct, _SQL_KMV_DISTINCT),
+    ("topk_terms", q_topk_terms, _SQL_TOPK_TERMS),
     ("latency_hist_quantiles", q_latency_hist_quantiles, _SQL_LATENCY_HIST),
     ("stratified_sample", q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     ("corpus_prep", q_corpus_prep, _SQL_CORPUS_PREP),

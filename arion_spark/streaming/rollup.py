@@ -270,6 +270,68 @@ def run_latency_hist_stream(
     return query, sink
 
 
+def run_topk_stream(
+    spark: SparkSession,
+    replay_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    max_files_per_trigger: int = 1,
+) -> tuple[StreamingQuery, SketchSink]:
+    """Continuous heavy hitters: per-hour top terms via truncated-count
+    summaries (functions/sketch.topk_terms_*).  Each batch contributes
+    its exact per-(hour, term) counts truncated to the k heaviest; the
+    merge adds shared terms and re-truncates.  Size ``k`` well above the
+    per-batch distinct-term count of any hot group and the merged result
+    is exact (the twin test runs in that regime); under-sized k degrades
+    to a deterministic lower bound.  Commit log is load-bearing (count
+    addition is not idempotent under replay)."""
+    group = ["hour"]
+
+    def partial(bdf: DataFrame) -> DataFrame:
+        toks = bdf.select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.explode(F.split("text", r"\s+")).alias("tok"),
+        ).where(F.col("tok") != "")
+        return sketch.topk_terms_partial(toks, group, F.col("tok"), k)
+
+    def merge(prev: DataFrame, part: DataFrame) -> DataFrame:
+        return sketch.topk_terms_merge(prev, part, group, k)
+
+    sink = SketchSink(out_dir, partial, merge)
+    stream = read_replay_stream(spark, replay_dir, max_files_per_trigger)
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return query, sink
+
+
+def read_topk(
+    spark: SparkSession, sink: SketchSink, k: int = 10
+) -> DataFrame:
+    """Finalized top-k per hour from the merged summary — equals batch
+    functions/sketch.topk_terms when the sketch ran in its exact regime."""
+    from pyspark.sql import Window
+
+    st = sink.read_state(spark)
+    if st is None:
+        raise FileNotFoundError(f"no committed sketch in {sink.table_dir}")
+    w = Window.partitionBy("hour").orderBy(F.desc("_n"), F.asc("_term"))
+    return (
+        st.select("hour", "_term", "_n", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select(
+            "hour",
+            F.col("_term").alias("term"),
+            F.col("_n").cast("int").alias("n"),
+            "rank",
+        )
+    )
+
+
 def read_hist_quantiles(
     spark: SparkSession,
     sink: SketchSink,

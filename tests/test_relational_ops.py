@@ -222,6 +222,64 @@ class TestKmvSketch:
         assert est_merged == direct["est"]
 
 
+class TestTopkTerms:
+    """functions.sketch.topk_terms_* — the heavy-hitters summary."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, t string")
+
+    def test_one_shot_exact_ranking(self, spark):
+        from arion_spark.functions import sketch
+
+        rows = [("g", w) for w in
+                ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"] * 1]
+        out = sorted(
+            (r["rank"], r["term"], r["n"])
+            for r in sketch.topk_terms(
+                self._df(spark, rows), ["g"], F.col("t"), k=3
+            ).collect()
+        )
+        # ties (b, c) broken by term asc
+        assert out == [(1, "a", 5), (2, "b", 3), (3, "c", 3)]
+
+    def test_merge_exact_when_k_covers_vocab(self, spark):
+        from arion_spark.functions import sketch
+
+        half_a = [("g", f"w{i % 7}") for i in range(100)]
+        half_b = [("g", f"w{(i + 3) % 7}") for i in range(60)]
+        direct = {
+            (r["term"]): r["n"]
+            for r in sketch.topk_terms(
+                self._df(spark, half_a + half_b), ["g"], F.col("t"), k=7
+            ).collect()
+        }
+        pa = sketch.topk_terms_partial(self._df(spark, half_a), ["g"], F.col("t"), k=7)
+        pb = sketch.topk_terms_partial(self._df(spark, half_b), ["g"], F.col("t"), k=7)
+        merged = {
+            r["_term"]: r["_n"]
+            for r in sketch.topk_terms_merge(pa, pb, ["g"], k=7).collect()
+        }
+        assert merged == direct
+
+    def test_undersized_k_gives_lower_bounds(self, spark):
+        from arion_spark.functions import sketch
+
+        # 'a' heavy everywhere; 'x' appears only in half_b's tail
+        half_a = [("g", w) for w in ["a"] * 10 + ["b"] * 5 + ["c"] * 2]
+        half_b = [("g", w) for w in ["a"] * 10 + ["x"] * 4 + ["b"] * 1]
+        pa = sketch.topk_terms_partial(self._df(spark, half_a), ["g"], F.col("t"), k=2)
+        pb = sketch.topk_terms_partial(self._df(spark, half_b), ["g"], F.col("t"), k=2)
+        merged = {
+            r["_term"]: r["_n"]
+            for r in sketch.topk_terms_merge(pa, pb, ["g"], k=2).collect()
+        }
+        exact = {"a": 20, "b": 6, "c": 2, "x": 4}
+        assert set(merged) <= set(exact)
+        for term, n in merged.items():
+            assert n <= exact[term]  # truncated-merge counts are lower bounds
+        assert merged["a"] == 20  # a term kept in EVERY partial stays exact
+
+
 class TestGenericPattern:
     """operators.cep.match_pattern — the generic NFA operator — must
     agree with the window-expression fast path on the default pattern

@@ -893,6 +893,45 @@ def test_kmv_stream_matches_batch(spark, transcripts_df, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_topk_stream_matches_batch(spark, transcripts_df, tmp_path):
+    """Per-batch truncated-count summaries merged incrementally == the
+    one-shot exact batch top-k, across a restart — the sketch runs in
+    its exact regime (k=64 ≫ the generator's ~30-term vocabulary)."""
+    from pyspark.sql import functions as F
+
+    from arion_spark.functions import sketch
+    from arion_spark.streaming.rollup import read_topk, run_topk_stream
+
+    replay = str(tmp_path / "replay")
+    chunks = write_replay_chunks(transcripts_df, replay, n_chunks=4)
+    staged = str(tmp_path / "staged")
+    _stage_chunks(chunks, staged, 0, 2)
+    q, sink = run_topk_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    _stage_chunks(chunks, staged, 2, 4)
+    q, sink = run_topk_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["hour"], r["rank"]): (r["term"], r["n"])
+        for r in read_topk(spark, sink, k=5).collect()
+    }
+    toks = transcripts_df.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.explode(F.split("text", r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    want = {
+        (r["hour"], r["rank"]): (r["term"], r["n"])
+        for r in sketch.topk_terms(toks, ["hour"], F.col("tok"), k=5).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_latency_hist_stream_matches_batch(spark, transcripts_df, tmp_path):
     """First-response stream → per-batch bin-count partials merged by
     addition == batch histogram_quantiles over batch first_response, across
