@@ -808,6 +808,53 @@ FROM j WHERE round(inter / (na + nb - inter), 4) >= 0.5
 """
 
 
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence dedup (the batch twin of the streaming
+    admission guard, streaming/dedup.DedupGuard): keep a doc iff no
+    LSH candidate among strictly-earlier docs (doc_id order) verifies
+    at Jaccard ≥ 0.5 — i.e. corpus ANTI JOIN jaccard_pairs.id_b.
+    Transitive-drop semantics: a near-dup of anything previously seen
+    (kept OR dropped) is dropped, collapsing drift chains to their
+    first element.  One extra anti-join over the already-verified
+    jaccard_near_dups plan; the streaming twin computes the same set
+    incrementally against the commit-logged LSH index (twin-parity +
+    restart tested)."""
+    corpus = _near_dup_corpus_spark(spark, sf_dir)
+    prep = dedup.prepare_dedup_corpus(corpus)
+    pairs = dedup.lsh_candidate_pairs(None, prepared=prep)
+    jp = dedup.jaccard_pairs(None, pairs, threshold=0.5, prepared=prep)
+    dropped = jp.select(F.col("id_b").alias("doc_id"))
+    return corpus.join(dropped.distinct(), "doc_id", "left_anti").select(
+        "doc_id", F.length("text").cast("int").alias("text_len")
+    )
+
+
+_SQL_DEDUP_KEEP_FIRST = f"""
+WITH {_D_NEAR_DUP_CORPUS},
+tok AS (SELECT doc_id, {_D_TOKENS.format(c='text')} AS toks FROM corpus),
+sh AS (SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM tok),
+hsh AS (SELECT doc_id, {_D_SHINGLE_HASHES.format(sh='shingles')} AS hs FROM sh),
+sig AS (SELECT doc_id, {_d_minhash_sig('hs')} AS s FROM hsh),
+buckets AS (
+  SELECT doc_id, {_D_LSH_BUCKETS} AS bucket FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b USING (bucket)
+  WHERE a.doc_id < b.doc_id),
+hsd AS (SELECT doc_id, list_distinct(hs) AS hv FROM hsh),
+dropped AS (
+  SELECT DISTINCT p.id_b AS doc_id
+  FROM pairs p
+  JOIN hsd sa ON sa.doc_id = p.id_a
+  JOIN hsd sb ON sb.doc_id = p.id_b
+  WHERE round(cast(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE)
+        / (len(sa.hv) + len(sb.hv)
+           - len(list_intersect(sa.hv, sb.hv))), 4) >= 0.5)
+SELECT c.doc_id, cast(length(c.text) AS INT) AS text_len
+FROM corpus c ANTI JOIN dropped d ON c.doc_id = d.doc_id
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: LSH→Jaccard pairs → connected
     components → canonical-doc selection (the keep-one-per-cluster
@@ -1853,6 +1900,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("minhash_signatures", q_minhash_signatures, _SQL_MINHASH),
     ("lsh_dup_pairs", q_lsh_dup_pairs, _SQL_LSH_PAIRS),
     ("jaccard_near_dups", q_jaccard_near_dups, _SQL_JACCARD),
+    ("dedup_keep_first", q_dedup_keep_first, _SQL_DEDUP_KEEP_FIRST),
     ("dup_clusters", q_dup_clusters, _SQL_DUP_CLUSTERS),
     ("ann_topk", q_ann_topk, _SQL_ANN_TOPK),
     ("ivf_ann", q_ivf_ann, _SQL_IVF_ANN),

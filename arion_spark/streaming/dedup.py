@@ -1,0 +1,269 @@
+"""Streaming near-duplicate dedup guard: admit a document iff it is not
+a near-dup of anything seen before it.
+
+This is the streaming deployment of the MinHash/LSH/Jaccard batch suite
+(functions/dedup.py) — the operation a training-data ingest pipeline
+actually runs: documents arrive continuously and each must be admitted
+or dropped NOW, against the corpus accumulated so far, not in a nightly
+all-pairs pass.
+
+Semantics (the "transitive-drop / first-occurrence" rule): a document is
+KEPT iff no LSH candidate among strictly-earlier documents (arrival
+order; doc_id order under the ordered replay used in tests) verifies at
+n-gram Jaccard ≥ threshold.  "Earlier" means *seen*, kept or dropped —
+so drift chains A≈B≈C collapse to their first element even when A and C
+are not direct near-dups, matching what connected-component keep-one
+does on chains while staying causally computable online.  The batch
+twin is therefore a pure composition of the already-oracle-verified
+machinery:  ``corpus ANTI JOIN (jaccard_pairs ∘ lsh_candidate_pairs).id_b``
+— see queries.q_dedup_keep_first; the twin tests pin stream == batch
+across checkpoint restarts.
+
+State layout (the 100 TB design):
+
+* ``docs/batch=<id>/``    — (doc_id, text, hs, buckets): one row per seen
+  doc; ``hs`` is the distinct 32-bit shingle-hash set used for exact
+  Jaccard verification.  Written FIRST so the heavy
+  tokenize→shingle→minhash plan executes exactly once per batch; all
+  joins read the materialized columnar output back.
+* ``buckets/batch=<id>/bp=<p>/`` — exploded (bucket, doc_id), the LSH
+  index, partitioned by the bucket's first hex char.  The per-batch
+  history probe is an equi-join of this NARROW two-column table against
+  the (small, broadcast) batch bucket set — candidate generation never
+  touches text or hash arrays, and partition pruning on ``bp`` bounds
+  the scan.  At cluster scale this table is Iceberg bucketed-by(bucket)
+  so the probe becomes a storage-partitioned join (or the index moves
+  into a key-value state store); the parquet layout here is the local
+  twin of that contract.
+* ``kept/batch=<id>/``    — admitted (doc_id, text).
+* ``_commits/<id>.json``  — written AFTER all three data dirs (atomic
+  rename), carrying per-batch lineage (n_in/n_kept/drop split).
+  Replayed batch ids are no-ops; a crash between data and marker is
+  healed by the replay overwriting the orphan dirs — the same
+  exactly-once discipline as MergeSink/SketchSink.
+
+Per-batch cost: O(|batch| · bands) candidate probes + exact Jaccard on
+verified candidates only; the index grows O(corpus) rows but each probe
+reads only the ``bp`` partitions the batch touches.  Jaccard
+verification reuses functions/dedup.jaccard_pairs verbatim (same
+rounding, same hash sets) so stream and batch agree bit-for-bit.
+
+Reference anchor: extends src/Operation.cpp's per-record chain with the
+corpus-level admission control the reference lacks (SURVEY.md §9.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from arion_spark.functions import dedup
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def write_doc_chunks(df: DataFrame, out_dir: str, n_chunks: int = 4) -> list[str]:
+    """Split a document table into doc_id-ordered replay chunks (the
+    document analog of source.write_replay_chunks): arrival order ==
+    doc_id order, which is the total order the batch twin uses."""
+    from pyspark.sql import Window
+
+    ranked = df.select("doc_id", "text").withColumn(
+        "_chunk", F.ntile(n_chunks).over(Window.orderBy("doc_id"))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(1, n_chunks + 1):
+        chunk_dir = f"{out_dir}/chunk={i:04d}"
+        ranked.where(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(chunk_dir)
+        paths.append(chunk_dir)
+    return paths
+
+
+def read_doc_stream(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+
+
+class DedupGuard:
+    """foreachBatch sink implementing the admission control described in
+    the module docstring.  No Spark-managed state — all state is the
+    commit-logged index, so restart safety needs only the checkpoint's
+    source offsets plus the committed-id no-op rule."""
+
+    def __init__(self, table_dir: str, threshold: float = 0.5):
+        self.table_dir = table_dir
+        self.threshold = threshold
+        os.makedirs(f"{table_dir}/_commits", exist_ok=True)
+
+    # -- commit log ---------------------------------------------------------
+
+    def _commit_path(self, batch_id: int) -> str:
+        return f"{self.table_dir}/_commits/{batch_id:012d}.json"
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_path(batch_id))
+
+    def committed_ids(self) -> list[int]:
+        cdir = f"{self.table_dir}/_commits"
+        return sorted(
+            int(name[:-5])
+            for name in os.listdir(cdir)
+            if name.endswith(".json")
+        )
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for bid in self.committed_ids():
+            with open(self._commit_path(bid)) as f:
+                out.append(json.load(f))
+        return out
+
+    # -- write path ---------------------------------------------------------
+
+    def _read_committed(self, spark: SparkSession, sub: str, ids: list[int]) -> DataFrame:
+        df = spark.read.option("basePath", f"{self.table_dir}/{sub}").parquet(
+            f"{self.table_dir}/{sub}"
+        )
+        return df.where(F.col("batch").cast("long").isin(ids))
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return
+        spark = batch_df.sparkSession
+        docs_dir = f"{self.table_dir}/docs/batch={batch_id:012d}"
+        bkt_dir = f"{self.table_dir}/buckets/batch={batch_id:012d}"
+        kept_dir = f"{self.table_dir}/kept/batch={batch_id:012d}"
+
+        # 1. materialize the batch's signatures ONCE (heavy plan → disk)
+        prep = (
+            batch_df.select("doc_id", "text")
+            .withColumn("_hs_raw", dedup.shingle_hashes_col(F.col("text")))
+            .withColumn("minhash", dedup.minhash_from_hashes(F.col("_hs_raw")))
+            .withColumn("hs", F.array_distinct("_hs_raw"))
+            .withColumn("buckets", dedup.lsh_buckets(F.col("minhash")))
+            .select("doc_id", "text", "hs", "buckets")
+        )
+        prep.write.mode("overwrite").parquet(docs_dir)
+        b = spark.read.parquet(docs_dir)
+
+        # 2. the narrow LSH index rows for this batch, bp-partitioned
+        (
+            b.select("doc_id", F.explode("buckets").alias("bucket"))
+            .withColumn("bp", F.substring("bucket", 1, 1))
+            .write.mode("overwrite")
+            .partitionBy("bp")
+            .parquet(bkt_dir)
+        )
+        bb = spark.read.option("basePath", bkt_dir).parquet(bkt_dir)
+
+        # 3. within-batch: later doc rejected by any earlier batch doc
+        e = bb.select("doc_id", "bucket")
+        pairs_in = (
+            e.alias("x")
+            .join(e.alias("y"), "bucket")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+            )
+            .distinct()
+        )
+        rejected = dedup.jaccard_pairs(
+            None, pairs_in, threshold=self.threshold, prepared=b
+        ).select(F.col("id_b").alias("doc_id"))
+
+        # 4. vs history: candidate ids via the narrow bucket index
+        #    (batch side broadcast — history is never shuffled), exact
+        #    Jaccard via the SAME jaccard_pairs expression as batch
+        ids = self.committed_ids()
+        if ids:
+            bps = [r["bp"] for r in bb.select("bp").distinct().collect()]
+            hist_b = self._read_committed(spark, "buckets", ids).where(
+                F.col("bp").isin(bps)
+            )
+            cand = (
+                hist_b.join(
+                    F.broadcast(
+                        bb.select("bucket", F.col("doc_id").alias("id_b"))
+                    ),
+                    "bucket",
+                )
+                .select(F.col("doc_id").alias("id_a"), "id_b")
+                .distinct()
+            )
+            all_docs = (
+                self._read_committed(spark, "docs", ids)
+                .select("doc_id", "hs")
+                .unionByName(b.select("doc_id", "hs"))
+            )
+            rej_hist = dedup.jaccard_pairs(
+                None, cand, threshold=self.threshold, prepared=all_docs
+            ).select(F.col("id_b").alias("doc_id"))
+            rejected = rejected.unionByName(rej_hist)
+
+        kept = b.join(rejected.distinct(), "doc_id", "left_anti").select(
+            "doc_id", "text"
+        )
+        kept.write.mode("overwrite").parquet(kept_dir)
+
+        n_in = b.count()
+        n_kept = spark.read.parquet(kept_dir).count()
+        marker = {
+            "batch_id": batch_id,
+            "n_in": n_in,
+            "n_kept": n_kept,
+            "n_dropped": n_in - n_kept,
+        }
+        tmp = self._commit_path(batch_id) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, self._commit_path(batch_id))  # atomic commit point
+
+    def foreach_batch(self):
+        return lambda df, bid: self.process(df, bid)
+
+    # -- read path ----------------------------------------------------------
+
+    def read_kept(self, spark: SparkSession) -> DataFrame:
+        ids = self.committed_ids()
+        if not ids:
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        return self._read_committed(spark, "kept", ids).select("doc_id", "text")
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    replay_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+) -> tuple[StreamingQuery, DedupGuard]:
+    guard = DedupGuard(out_dir, threshold)
+    stream = read_doc_stream(spark, replay_dir, max_files_per_trigger)
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(guard.foreach_batch())
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return query, guard

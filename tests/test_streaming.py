@@ -1024,3 +1024,89 @@ def test_first_response_stream_edge_semantics(spark, tmp_path):
     }
     assert got == want
     assert ("c1", 0) in got and ("c2", 0) not in got
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup dedup guard (streaming/dedup.py)
+
+
+def _doc_corpus(spark):
+    """30 distinct-vocab docs + 15 planted 80%-prefix mutants + a drift
+    chain c0≈c1≈c2 where c0 and c2 are NOT direct near-dups."""
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(30))))
+    for i in range(0, 30, 2):
+        rows.append((1000 + i, " ".join(f"w{i}x{j}" for j in range(24))))
+    chain = [f"c{j}" for j in range(60)]
+    rows.append((5000, " ".join(chain[0:30])))
+    rows.append((5001, " ".join(chain[5:35])))
+    rows.append((5002, " ".join(chain[10:40])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch_keep_first(df):
+    from pyspark.sql import functions as F
+
+    from arion_spark.functions import dedup
+
+    prep = dedup.prepare_dedup_corpus(df)
+    pairs = dedup.lsh_candidate_pairs(None, prepared=prep)
+    jp = dedup.jaccard_pairs(None, pairs, threshold=0.5, prepared=prep)
+    dropped = jp.select(F.col("id_b").alias("doc_id")).distinct()
+    return {
+        r["doc_id"]
+        for r in df.join(dropped, "doc_id", "left_anti").collect()
+    }
+
+
+def test_dedup_guard_matches_batch_across_restart(spark, tmp_path):
+    """Streaming admission (LSH index probe + exact Jaccard per batch)
+    == the batch anti-join twin (oracle query dedup_keep_first's
+    definition), across a mid-stream checkpoint restart; per-batch
+    lineage counts reconcile with the kept set."""
+    from arion_spark.streaming.dedup import run_dedup_stream, write_doc_chunks
+
+    corpus = _doc_corpus(spark)
+    replay = str(tmp_path / "replay")
+    chunks = write_doc_chunks(corpus, replay, n_chunks=4)
+    staged = str(tmp_path / "staged")
+    _stage_chunks(chunks, staged, 0, 2)
+    q, g = run_dedup_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    _stage_chunks(chunks, staged, 2, 4)
+    q, g = run_dedup_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"] for r in g.read_kept(spark).collect()}
+    want = _batch_keep_first(corpus)
+    assert got == want
+    n_total = corpus.count()
+    assert 0 < len(got) < n_total  # real drops happened
+    # transitive-drop semantics: chain head kept, both drifts dropped
+    # (5002 is a near-dup only of the already-DROPPED 5001)
+    assert 5000 in got and 5001 not in got and 5002 not in got
+    lin = g.lineage()
+    assert sum(r["n_in"] for r in lin) == n_total
+    assert sum(r["n_kept"] for r in lin) == len(got)
+
+
+def test_dedup_guard_replayed_batch_is_noop(spark, tmp_path):
+    """A committed batch id is skipped entirely — replays after restart
+    cannot double-admit or re-drop (exactly-once admission)."""
+    from arion_spark.streaming.dedup import DedupGuard
+
+    corpus = _doc_corpus(spark).where("doc_id < 10")
+    g = DedupGuard(str(tmp_path / "out"))
+    g.process(corpus, 0)
+    before = {r["doc_id"] for r in g.read_kept(spark).collect()}
+    # replay with DIFFERENT data under the same id: must be a no-op
+    g.process(corpus.limit(1), 0)
+    after = {r["doc_id"] for r in g.read_kept(spark).collect()}
+    assert before == after and len(g.lineage()) == 1
