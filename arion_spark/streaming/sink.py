@@ -26,9 +26,10 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 KEYS = ("conv_id", "turn_idx")
@@ -123,25 +124,138 @@ class MergeSink:
         — partial map-side, no per-key sort.  The previous shape (one
         union leg per committed batch + a global window) made the PLAN
         grow with batch count: at thousands of micro-batches, analysis
-        and the unioned sort dominated the read."""
+        and the unioned sort dominated the read.
+
+        After ``compact()``, the view is compacted-base ∪ still-
+        incremental batches, base rows ranked at the compaction
+        horizon — identical results (tested), bounded file count."""
         commits = self.committed_batches()
         if not commits:
             raise FileNotFoundError(f"no committed batches in {self.table_dir}")
         ids = [int(c["batch_id"]) for c in commits]
-        df = spark.read.option("basePath", f"{self.table_dir}/data").parquet(
-            f"{self.table_dir}/data"
-        )
-        df = df.where(F.col("batch").cast("long").isin(ids))
-        payload = [c for c in df.columns if c != "batch"]
+        comp = self.latest_compaction()
+        legs = []
+        if comp is not None:
+            upto = comp["upto"]
+            base = spark.read.parquet(self._compacted_dir(upto))
+            base = base.drop(*comp["partition_cols"]).withColumn(
+                "_b", F.lit(upto).cast("long")
+            )
+            legs.append(base)
+            ids = [i for i in ids if i > upto]
+        if ids:
+            df = spark.read.option(
+                "basePath", f"{self.table_dir}/data"
+            ).parquet(f"{self.table_dir}/data")
+            legs.append(
+                df.where(F.col("batch").cast("long").isin(ids))
+                .withColumn("_b", F.col("batch").cast("long"))
+                .drop("batch")
+            )
+        df = legs[0]
+        for leg in legs[1:]:
+            df = df.unionByName(leg)
+        payload = [c for c in df.columns if c != "_b"]
         return (
             df.groupBy(*[F.col(k) for k in self.keys])
-            .agg(
-                F.max_by(
-                    F.struct(*payload), F.col("batch").cast("long")
-                ).alias("_r")
-            )
+            .agg(F.max_by(F.struct(*payload), F.col("_b")).alias("_r"))
             .select("_r.*")
         )
+
+    # -- compaction (small-file management) -----------------------------------
+    #
+    # A micro-batch sink accrues one directory (≥1 file) per batch: at a
+    # day of 5-second triggers that is ~17k dirs — listing, footer reads
+    # and per-file task overhead come to dominate every read.  compact()
+    # folds all committed batches (and any previous base) into ONE
+    # key-deduped base table, optionally partitioned by derived columns
+    # (e.g. day=to_date(ts)) so downstream reads partition-prune;
+    # vacuum() then deletes the folded batch dirs.  Crash-safety mirrors
+    # the batch commit: base data is written first, the compaction
+    # marker lands after via atomic rename, and readers switch to the
+    # base only once the marker exists — a crash mid-compaction leaves
+    # the incremental view untouched.  Commit markers are NEVER deleted,
+    # so replayed batch ids stay no-ops after vacuum (tested).  This is
+    # the parquet twin of Iceberg's rewrite_data_files + snapshot expiry.
+
+    def _compacted_dir(self, upto: int) -> str:
+        return f"{self.table_dir}/compacted/upto={upto:012d}"
+
+    def _compaction_marker(self, upto: int) -> str:
+        return f"{self.table_dir}/_compactions/{upto:012d}.json"
+
+    def latest_compaction(self) -> dict | None:
+        cdir = f"{self.table_dir}/_compactions"
+        if not os.path.isdir(cdir):
+            return None
+        names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+        if not names:
+            return None
+        with open(f"{cdir}/{names[-1]}") as f:
+            return json.load(f)
+
+    def compact(
+        self, spark: SparkSession, partition_exprs: dict[str, Column] | None = None
+    ) -> dict:
+        """Fold every committed batch into a single deduped base.
+
+        ``partition_exprs`` adds derived partition columns to the base
+        layout (name → Column over the payload), e.g.
+        ``{"day": F.to_date("ts")}`` — they exist only in the base files
+        (dropped again by ``read_merged``) and make direct base reads
+        (``read_base``) partition-prunable."""
+        ids = [int(c["batch_id"]) for c in self.committed_batches()]
+        if not ids:
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        upto = max(ids)
+        prev = self.latest_compaction()
+        if prev is not None and prev["upto"] == upto:
+            return prev  # nothing new to fold
+        merged = self.read_merged(spark)
+        pcols = list((partition_exprs or {}).keys())
+        for name, expr in (partition_exprs or {}).items():
+            merged = merged.withColumn(name, expr)
+        merged.write.mode("overwrite").partitionBy(*pcols).parquet(
+            self._compacted_dir(upto)
+        )
+        os.makedirs(f"{self.table_dir}/_compactions", exist_ok=True)
+        marker = {"upto": upto, "partition_cols": pcols}
+        tmp = self._compaction_marker(upto) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, self._compaction_marker(upto))  # readers switch here
+        return marker
+
+    def vacuum(self) -> int:
+        """Delete batch dirs folded into the latest base (and superseded
+        bases).  Keeps every commit marker — exactly-once replay skips
+        survive vacuum.  Returns the number of directories removed."""
+        comp = self.latest_compaction()
+        if comp is None:
+            return 0
+        upto = comp["upto"]
+        removed = 0
+        data = f"{self.table_dir}/data"
+        if os.path.isdir(data):
+            for name in os.listdir(data):
+                if name.startswith("batch=") and int(name.split("=")[1]) <= upto:
+                    shutil.rmtree(f"{data}/{name}")
+                    removed += 1
+        cbase = f"{self.table_dir}/compacted"
+        for name in os.listdir(cbase):
+            if name.startswith("upto=") and int(name.split("=")[1]) < upto:
+                shutil.rmtree(f"{cbase}/{name}")
+                removed += 1
+        return removed
+
+    def read_base(self, spark: SparkSession) -> DataFrame:
+        """The compacted base WITH its derived partition columns — the
+        table downstream batch jobs scan; filters on the partition
+        columns prune at the directory level (asserted in tests)."""
+        comp = self.latest_compaction()
+        if comp is None:
+            raise FileNotFoundError(f"no compaction in {self.table_dir}")
+        return spark.read.parquet(self._compacted_dir(comp["upto"]))
 
     def lineage(self) -> list[dict]:
         """Per-batch lineage records (counts, event-time range, partitions)."""

@@ -165,6 +165,28 @@ def bench_streaming(spark, n_turns: int) -> dict:
         _run_to_noop(roll.read_cascade(spark))
         roll_wall = time.perf_counter() - t0
 
+        # round-3: the streaming near-dup admission guard over the
+        # doubled document corpus (docs + planted 80%-prefix mutants) —
+        # per-batch LSH index probe + exact Jaccard vs all earlier docs
+        from arion_spark.queries import _near_dup_corpus_spark
+        from arion_spark.streaming.dedup import (
+            run_dedup_stream,
+            write_doc_chunks,
+        )
+
+        corpus = _near_dup_corpus_spark(spark, SF_DIR)
+        n_docs = corpus.count()
+        write_doc_chunks(corpus, f"{work}/dedup_replay", n_chunks=4)
+        t0 = time.perf_counter()
+        dq, guard = run_dedup_stream(
+            spark, f"{work}/dedup_replay", f"{work}/dedup_out",
+            f"{work}/dedup_ckpt",
+        )
+        dq.processAllAvailable()
+        dq.stop()
+        dedup_wall = time.perf_counter() - t0
+        dedup_kept = sum(r["n_kept"] for r in guard.lineage())
+
         return {
             "streaming_replay_sec": round(wall, 3),
             "turns": n_turns,
@@ -175,6 +197,10 @@ def bench_streaming(spark, n_turns: int) -> dict:
             "max_state_rows": s["max_state_rows"],
             "streaming_rollup_sec": round(roll_wall, 3),
             "rollup_turns_per_sec": round(n_turns / roll_wall, 1),
+            "streaming_dedup_sec": round(dedup_wall, 3),
+            "dedup_docs_per_sec": round(n_docs / dedup_wall, 1),
+            "dedup_docs_in": n_docs,
+            "dedup_docs_kept": dedup_kept,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -198,6 +224,7 @@ def main() -> None:
     queries = dict(batch)
     queries["streaming_replay"] = stream["streaming_replay_sec"]
     queries["streaming_rollup"] = stream["streaming_rollup_sec"]
+    queries["streaming_dedup"] = stream["streaming_dedup_sec"]
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

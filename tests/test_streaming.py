@@ -1110,3 +1110,92 @@ def test_dedup_guard_replayed_batch_is_noop(spark, tmp_path):
     g.process(corpus.limit(1), 0)
     after = {r["doc_id"] for r in g.read_kept(spark).collect()}
     assert before == after and len(g.lineage()) == 1
+
+
+# ---------------------------------------------------------------------------
+# compaction (small-file management on the MERGE sink)
+
+
+def test_sink_compaction_preserves_merge_prunes_and_survives_replay(
+    spark, tmp_path
+):
+    """compact() folds 12 batch dirs into one day-partitioned base:
+    read_merged is row-identical before/after compact and after
+    vacuum, replayed folded batch ids stay no-ops (commit markers
+    survive vacuum), post-compaction batches keep upserting, a second
+    compaction folds base+increments, and direct base reads
+    partition-prune on day."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    sink = MergeSink(str(tmp_path / "tblc"), stats="minimal")
+    for b in range(12):
+        rows = [
+            # day 1 or day 2 depending on batch; hot key rewritten
+            _row(f"c{b % 3}", 0, b * 240, text=f"v{b}"),
+            _row(f"u{b}", 1, b * 240, text=f"only-{b}"),
+        ]
+        sink.process(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), b)
+
+    def snap():
+        return {
+            (r.conv_id, r.turn_idx): r.text
+            for r in sink.read_merged(spark).collect()
+        }
+
+    before = snap()
+    marker = sink.compact(spark, {"day": F.to_date("ts")})
+    assert marker["upto"] == 11 and marker["partition_cols"] == ["day"]
+    assert snap() == before
+    assert "day" not in sink.read_merged(spark).columns  # schema unchanged
+
+    # partition pruning on the derived day column of the base
+    base = sink.read_base(spark)
+    assert "day" in base.columns
+    plan = (
+        base.where("day = DATE'2024-01-01'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "day" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+
+    n_files_before = len(
+        glob.glob(f"{tmp_path}/tblc/data/**/*.parquet", recursive=True)
+    )
+    removed = sink.vacuum()
+    assert removed == 12
+    n_files_after = len(
+        glob.glob(f"{tmp_path}/tblc/data/**/*.parquet", recursive=True)
+    ) + len(
+        glob.glob(f"{tmp_path}/tblc/compacted/**/*.parquet", recursive=True)
+    )
+    assert n_files_after < n_files_before
+    assert snap() == before
+
+    # replay of a folded-and-vacuumed batch id: still a no-op
+    sink.process(
+        spark.createDataFrame([_row("zz", 9, 0, text="ghost")], TRANSCRIPT_SCHEMA),
+        3,
+    )
+    assert snap() == before
+
+    # the sink keeps upserting after compaction (incremental leg)
+    sink.process(
+        spark.createDataFrame([_row("c0", 0, 0, text="post")], TRANSCRIPT_SCHEMA),
+        12,
+    )
+    got = snap()
+    assert got[("c0", 0)] == "post"
+    assert {k: v for k, v in got.items() if k != ("c0", 0)} == {
+        k: v for k, v in before.items() if k != ("c0", 0)
+    }
+
+    # second compaction folds base + increment; results unchanged
+    m2 = sink.compact(spark, {"day": F.to_date("ts")})
+    assert m2["upto"] == 12
+    assert sink.vacuum() >= 1  # old base + batch 12 dir
+    assert snap() == got
