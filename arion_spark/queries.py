@@ -855,6 +855,88 @@ FROM corpus c ANTI JOIN dropped d ON c.doc_id = d.doc_id
 """
 
 
+def _admission_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup corpus plus planted EXACT copies (every 5th base doc,
+    id + 2,000,000) so the exact-dup fast path has something to drop."""
+    d = _near_dup_corpus_spark(spark, sf_dir)
+    copies = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    )
+    return d.unionByName(copies)
+
+
+def q_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming corpus-prep admission rule as a batch query (twin
+    of streaming/dedup.DedupGuard(quality_gate, exact_fast_path)):
+    quality gate (n_tokens ≥ 20 ∧ alpha_ratio ≥ 0.8) → exact keep-first
+    (min doc_id per content md5) → near-dup keep-first (no earlier LSH
+    candidate at Jaccard ≥ 0.5).  Differs from q_corpus_prep only in
+    the dedup decision rule: keep-FIRST (causally computable online)
+    instead of CC-keep-one (needs the whole graph)."""
+    corpus = _admission_corpus_spark(spark, sf_dir)
+    feats = txt.quality_features(F.col("text"))
+    quality = corpus.select(
+        "doc_id", "text", feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("ar"),
+    ).where((F.col("n_tokens") >= 20) & (F.col("ar") >= 0.8))
+    first = quality.withColumn("text_md5", F.md5(F.col("text").cast("binary")))
+    exact = first.join(
+        first.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+    prep = dedup.prepare_dedup_corpus(exact)
+    pairs = dedup.lsh_candidate_pairs(None, prepared=prep)
+    jp = dedup.jaccard_pairs(None, pairs, threshold=0.5, prepared=prep)
+    kept = exact.join(
+        jp.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    return kept.select("doc_id", "n_tokens")
+
+
+_SQL_CORPUS_ADMISSION = f"""
+WITH {_D_NEAR_DUP_CORPUS},
+corpus2 AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0),
+tok AS (SELECT doc_id, text, {_D_TOKENS.format(c='text')} AS toks FROM corpus2),
+qf AS (
+  SELECT doc_id, text, toks, cast(len(toks) AS INT) AS n_tokens,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          / greatest(length(text), 1), 4) AS ar
+  FROM tok),
+quality AS (SELECT * FROM qf WHERE n_tokens >= 20 AND ar >= 0.8),
+exact AS (
+  SELECT * FROM quality
+  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))),
+sh AS (SELECT doc_id, {_D_SHINGLES.format(t='toks')} AS shingles FROM exact),
+hsh AS (SELECT doc_id, {_D_SHINGLE_HASHES.format(sh='shingles')} AS hs FROM sh),
+sig AS (SELECT doc_id, {_d_minhash_sig('hs')} AS s FROM hsh),
+buckets AS (
+  SELECT doc_id, {_D_LSH_BUCKETS} AS bucket FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b USING (bucket)
+  WHERE a.doc_id < b.doc_id),
+hsd AS (SELECT doc_id, list_distinct(hs) AS hv FROM hsh),
+dropped AS (
+  SELECT DISTINCT p.id_b AS doc_id
+  FROM pairs p
+  JOIN hsd sa ON sa.doc_id = p.id_a
+  JOIN hsd sb ON sb.doc_id = p.id_b
+  WHERE round(cast(len(list_intersect(sa.hv, sb.hv)) AS DOUBLE)
+        / (len(sa.hv) + len(sb.hv)
+           - len(list_intersect(sa.hv, sb.hv))), 4) >= 0.5)
+SELECT e.doc_id, e.n_tokens
+FROM exact e ANTI JOIN dropped d ON e.doc_id = d.doc_id
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: LSH→Jaccard pairs → connected
     components → canonical-doc selection (the keep-one-per-cluster
@@ -1901,6 +1983,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("lsh_dup_pairs", q_lsh_dup_pairs, _SQL_LSH_PAIRS),
     ("jaccard_near_dups", q_jaccard_near_dups, _SQL_JACCARD),
     ("dedup_keep_first", q_dedup_keep_first, _SQL_DEDUP_KEEP_FIRST),
+    ("corpus_admission", q_corpus_admission, _SQL_CORPUS_ADMISSION),
     ("dup_clusters", q_dup_clusters, _SQL_DUP_CLUSTERS),
     ("ann_topk", q_ann_topk, _SQL_ANN_TOPK),
     ("ivf_ann", q_ivf_ann, _SQL_IVF_ANN),

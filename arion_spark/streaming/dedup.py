@@ -64,6 +64,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from arion_spark.functions import dedup
+from arion_spark.functions import text as text_fns
 
 DOC_SCHEMA = T.StructType(
     [
@@ -71,6 +72,17 @@ DOC_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
     ]
 )
+
+# explicit index schemas: a batch that admits zero docs (all filtered)
+# writes empty dirs, where schema inference would fail — every index
+# read states its schema instead
+_DOCS_IDX = (
+    "doc_id long, text string, text_md5 string, "
+    "hs array<bigint>, buckets array<string>"
+)
+_BUCKET_IDX = "doc_id long, bucket string, bp string"
+_KEPT = "doc_id long, text string"
+_WITH_BATCH = ", batch long"
 
 
 def write_doc_chunks(df: DataFrame, out_dir: str, n_chunks: int = 4) -> list[str]:
@@ -108,11 +120,38 @@ class DedupGuard:
     """foreachBatch sink implementing the admission control described in
     the module docstring.  No Spark-managed state — all state is the
     commit-logged index, so restart safety needs only the checkpoint's
-    source offsets plus the committed-id no-op rule."""
+    source offsets plus the committed-id no-op rule.
 
-    def __init__(self, table_dir: str, threshold: float = 0.5):
+    Optional stages turn the guard into the full streaming corpus-prep
+    admission pipeline (the continuous form of queries.q_corpus_prep's
+    nightly batch, keep-first instead of CC-keep-one):
+
+    * ``quality_gate`` — drop docs failing the same deterministic gate
+      as the batch pipeline (n_tokens ≥ 20 AND alpha_ratio ≥ 0.8,
+      functions/text.quality_features) BEFORE they are seen: quality
+      rejects never enter the index and never drop later docs.
+    * ``exact_fast_path`` — drop exact duplicates (content md5 equal to
+      any earlier indexed doc, or to an earlier doc in the same batch)
+      before the shingle/minhash stage runs.  Exact dups are NOT
+      indexed: their shingle-hash set is identical to their original's,
+      so every later LSH candidacy / Jaccard outcome is already decided
+      by the original — skipping them is semantics-free and keeps the
+      index at one row per distinct content (crawls are 30-50% exact
+      dups; this is where the fast path pays at 100 TB).  The md5 probe
+      is a narrow column-pruned equi-join with the batch side broadcast.
+    """
+
+    def __init__(
+        self,
+        table_dir: str,
+        threshold: float = 0.5,
+        quality_gate: bool = False,
+        exact_fast_path: bool = False,
+    ):
         self.table_dir = table_dir
         self.threshold = threshold
+        self.quality_gate = quality_gate
+        self.exact_fast_path = exact_fast_path
         os.makedirs(f"{table_dir}/_commits", exist_ok=True)
 
     # -- commit log ---------------------------------------------------------
@@ -140,11 +179,15 @@ class DedupGuard:
 
     # -- write path ---------------------------------------------------------
 
+    _SCHEMAS = {"docs": _DOCS_IDX, "buckets": _BUCKET_IDX, "kept": _KEPT}
+
     def _read_committed(self, spark: SparkSession, sub: str, ids: list[int]) -> DataFrame:
-        df = spark.read.option("basePath", f"{self.table_dir}/{sub}").parquet(
-            f"{self.table_dir}/{sub}"
+        df = (
+            spark.read.schema(self._SCHEMAS[sub] + _WITH_BATCH)
+            .option("basePath", f"{self.table_dir}/{sub}")
+            .parquet(f"{self.table_dir}/{sub}")
         )
-        return df.where(F.col("batch").cast("long").isin(ids))
+        return df.where(F.col("batch").isin(ids))
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
@@ -154,17 +197,52 @@ class DedupGuard:
         bkt_dir = f"{self.table_dir}/buckets/batch={batch_id:012d}"
         kept_dir = f"{self.table_dir}/kept/batch={batch_id:012d}"
 
+        src = batch_df.select("doc_id", "text")
+        n_in = src.count()
+        ids = self.committed_ids()
+
+        # 0a. stateless quality gate — rejects are never "seen"
+        if self.quality_gate:
+            feats = text_fns.quality_features(F.col("text"))
+            src = src.where(
+                (feats["n_tokens"] >= 20) & (feats["alpha_ratio"] >= 0.8)
+            )
+            n_quality = src.count()
+        else:
+            n_quality = n_in
+
+        # 0b. exact-dup fast path — md5 probe before the heavy stage
+        src = src.withColumn("text_md5", F.md5(F.col("text").cast("binary")))
+        if self.exact_fast_path:
+            first = src.groupBy("text_md5").agg(
+                F.min("doc_id").alias("_first_id")
+            )
+            src = (
+                src.join(F.broadcast(first), "text_md5")
+                .where(F.col("doc_id") == F.col("_first_id"))
+                .drop("_first_id")
+            )
+            if ids:
+                hist_md5 = (
+                    self._read_committed(spark, "docs", ids)
+                    .select("text_md5")  # column-pruned narrow scan
+                    .distinct()
+                )
+                src = src.join(hist_md5, "text_md5", "left_anti")
+            n_exact = src.count()
+        else:
+            n_exact = n_quality
+
         # 1. materialize the batch's signatures ONCE (heavy plan → disk)
         prep = (
-            batch_df.select("doc_id", "text")
-            .withColumn("_hs_raw", dedup.shingle_hashes_col(F.col("text")))
+            src.withColumn("_hs_raw", dedup.shingle_hashes_col(F.col("text")))
             .withColumn("minhash", dedup.minhash_from_hashes(F.col("_hs_raw")))
             .withColumn("hs", F.array_distinct("_hs_raw"))
             .withColumn("buckets", dedup.lsh_buckets(F.col("minhash")))
-            .select("doc_id", "text", "hs", "buckets")
+            .select("doc_id", "text", "text_md5", "hs", "buckets")
         )
         prep.write.mode("overwrite").parquet(docs_dir)
-        b = spark.read.parquet(docs_dir)
+        b = spark.read.schema(_DOCS_IDX).parquet(docs_dir)
 
         # 2. the narrow LSH index rows for this batch, bp-partitioned
         (
@@ -174,7 +252,11 @@ class DedupGuard:
             .partitionBy("bp")
             .parquet(bkt_dir)
         )
-        bb = spark.read.option("basePath", bkt_dir).parquet(bkt_dir)
+        bb = (
+            spark.read.schema(_BUCKET_IDX)
+            .option("basePath", bkt_dir)
+            .parquet(bkt_dir)
+        )
 
         # 3. within-batch: later doc rejected by any earlier batch doc
         e = bb.select("doc_id", "bucket")
@@ -194,7 +276,6 @@ class DedupGuard:
         # 4. vs history: candidate ids via the narrow bucket index
         #    (batch side broadcast — history is never shuffled), exact
         #    Jaccard via the SAME jaccard_pairs expression as batch
-        ids = self.committed_ids()
         if ids:
             bps = [r["bp"] for r in bb.select("bp").distinct().collect()]
             hist_b = self._read_committed(spark, "buckets", ids).where(
@@ -225,11 +306,13 @@ class DedupGuard:
         )
         kept.write.mode("overwrite").parquet(kept_dir)
 
-        n_in = b.count()
-        n_kept = spark.read.parquet(kept_dir).count()
+        n_kept = spark.read.schema(_KEPT).parquet(kept_dir).count()
         marker = {
             "batch_id": batch_id,
             "n_in": n_in,
+            "n_quality_dropped": n_in - n_quality,
+            "n_exact_dropped": n_quality - n_exact,
+            "n_neardup_dropped": n_exact - n_kept,
             "n_kept": n_kept,
             "n_dropped": n_in - n_kept,
         }
@@ -257,8 +340,15 @@ def run_dedup_stream(
     checkpoint_dir: str,
     threshold: float = 0.5,
     max_files_per_trigger: int = 1,
+    quality_gate: bool = False,
+    exact_fast_path: bool = False,
 ) -> tuple[StreamingQuery, DedupGuard]:
-    guard = DedupGuard(out_dir, threshold)
+    guard = DedupGuard(
+        out_dir,
+        threshold,
+        quality_gate=quality_gate,
+        exact_fast_path=exact_fast_path,
+    )
     stream = read_doc_stream(spark, replay_dir, max_files_per_trigger)
     query = (
         stream.writeStream.outputMode("append")

@@ -1199,3 +1199,105 @@ def test_sink_compaction_preserves_merge_prunes_and_survives_replay(
     assert m2["upto"] == 12
     assert sink.vacuum() >= 1  # old base + batch 12 dir
     assert snap() == got
+
+
+def _admission_test_corpus(spark):
+    """Letter-only vocab (alpha_ratio clears 0.8) with planted rejects
+    for every admission stage: 20 base docs, 80%-prefix mutants
+    (near-dups), exact copies, and junk docs failing the quality gate."""
+
+    def w(i, j):
+        return (
+            "w"
+            + chr(97 + i % 26)
+            + chr(97 + i // 26)
+            + "x"
+            + chr(97 + j % 26)
+            + chr(97 + j // 26)
+        )
+
+    rows = []
+    texts = {}
+    for i in range(20):
+        texts[i] = " ".join(w(i, j) for j in range(30))
+        rows.append((i, texts[i]))
+    for i in range(0, 20, 2):  # near-dup mutants
+        rows.append((1000 + i, " ".join(w(i, j) for j in range(24))))
+    for i in range(0, 20, 5):  # exact copies
+        rows.append((2000 + i, texts[i]))
+    for i in range(5):  # junk: too short (< 20 tokens)
+        rows.append((3000 + i, " ".join(w(i, j) for j in range(5))))
+    for i in range(5):  # junk: digit-heavy (alpha_ratio < 0.8)
+        rows.append((4000 + i, " ".join(f"1234567890{i}{j}" for j in range(25))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch_admission(df):
+    from pyspark.sql import functions as F
+
+    from arion_spark.functions import dedup
+    from arion_spark.functions import text as txt
+
+    feats = txt.quality_features(F.col("text"))
+    quality = df.select(
+        "doc_id", "text", feats["n_tokens"].alias("nt"),
+        feats["alpha_ratio"].alias("ar"),
+    ).where((F.col("nt") >= 20) & (F.col("ar") >= 0.8))
+    first = quality.withColumn("m", F.md5(F.col("text").cast("binary")))
+    exact = first.join(
+        first.groupBy("m").agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
+        "doc_id",
+    )
+    prep = dedup.prepare_dedup_corpus(exact)
+    pairs = dedup.lsh_candidate_pairs(None, prepared=prep)
+    jp = dedup.jaccard_pairs(None, pairs, threshold=0.5, prepared=prep)
+    kept = exact.join(
+        jp.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    return {r["doc_id"] for r in kept.collect()}
+
+
+def test_corpus_admission_stream_matches_batch(spark, tmp_path):
+    """Full streaming corpus-prep admission (quality gate → exact md5
+    fast path → LSH/Jaccard keep-first) == the batch corpus_admission
+    rule, across a restart; every stage's lineage counter fires."""
+    from arion_spark.streaming.dedup import run_dedup_stream, write_doc_chunks
+
+    corpus = _admission_test_corpus(spark)
+    replay = str(tmp_path / "replay")
+    chunks = write_doc_chunks(corpus, replay, n_chunks=4)
+    staged = str(tmp_path / "staged")
+    _stage_chunks(chunks, staged, 0, 2)
+    kw = dict(quality_gate=True, exact_fast_path=True)
+    q, g = run_dedup_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt"), **kw
+    )
+    q.processAllAvailable()
+    q.stop()
+    _stage_chunks(chunks, staged, 2, 4)
+    q, g = run_dedup_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt"), **kw
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"] for r in g.read_kept(spark).collect()}
+    want = _batch_admission(corpus)
+    assert got == want and 0 < len(got) < corpus.count()
+    lin = g.lineage()
+    assert sum(r["n_in"] for r in lin) == corpus.count()
+    assert sum(r["n_kept"] for r in lin) == len(got)
+    assert sum(r["n_quality_dropped"] for r in lin) == 10
+    assert sum(r["n_exact_dropped"] for r in lin) == 4
+    assert sum(r["n_neardup_dropped"] for r in lin) == 10
+    # exact copies dropped by the fast path never enter the LSH index
+    import glob
+
+    from arion_spark.streaming.dedup import _DOCS_IDX, _WITH_BATCH
+
+    idx = (
+        spark.read.schema(_DOCS_IDX + _WITH_BATCH)
+        .option("basePath", f"{tmp_path}/out/docs")
+        .parquet(f"{tmp_path}/out/docs")
+    )
+    assert idx.where("doc_id >= 2000 and doc_id < 3000").count() == 0
