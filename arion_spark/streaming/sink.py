@@ -162,6 +162,76 @@ class MergeSink:
             .select("_r.*")
         )
 
+    # -- incremental consumption (CDC) + snapshot time travel -----------------
+
+    def read_changes(self, spark: SparkSession, since_batch: int = -1) -> DataFrame:
+        """The raw upsert changelog AFTER ``since_batch`` (exclusive):
+        every row written by a later committed batch, with its ``batch``
+        id — what a downstream incremental job consumes instead of
+        rescanning the merged table (consume-from-high-watermark: the
+        consumer persists the max batch id it has seen and passes it
+        back).  Rows are per-batch upsert images, so a key updated by k
+        batches appears k times; pipe through the same ``max_by``
+        collapse as ``read_merged`` if only the final image matters.
+        Only valid for batches still on disk (vacuum removes folded
+        dirs — consumers must keep up with the compaction cadence, the
+        same contract as Iceberg's incremental read vs snapshot expiry).
+        """
+        ids = [
+            int(c["batch_id"])
+            for c in self.committed_batches()
+            if int(c["batch_id"]) > since_batch
+        ]
+        missing = [
+            i for i in ids
+            if not os.path.isdir(f"{self.table_dir}/data/batch={i:012d}")
+        ]
+        if missing:
+            raise ValueError(
+                f"batches {missing} were compacted+vacuumed; CDC read "
+                f"from {since_batch} is no longer possible — restart "
+                "the consumer from read_merged()"
+            )
+        df = spark.read.option("basePath", f"{self.table_dir}/data").parquet(
+            f"{self.table_dir}/data"
+        )
+        return df.where(F.col("batch").cast("long").isin(ids)).withColumn(
+            "batch", F.col("batch").cast("long")
+        )
+
+    def read_merged_as_of(self, spark: SparkSession, as_of: int) -> DataFrame:
+        """Snapshot time travel: the merged view as it stood after batch
+        ``as_of`` committed.  Valid while the constituent batch dirs
+        exist (compact+vacuum trades old snapshots for file count, like
+        Iceberg snapshot expiry)."""
+        ids = [
+            int(c["batch_id"])
+            for c in self.committed_batches()
+            if int(c["batch_id"]) <= as_of
+        ]
+        if not ids:
+            raise FileNotFoundError(f"no committed batches ≤ {as_of}")
+        missing = [
+            i for i in ids
+            if not os.path.isdir(f"{self.table_dir}/data/batch={i:012d}")
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot as of {as_of} needs vacuumed batches {missing}"
+            )
+        df = spark.read.option("basePath", f"{self.table_dir}/data").parquet(
+            f"{self.table_dir}/data"
+        )
+        df = df.where(F.col("batch").cast("long").isin(ids)).withColumn(
+            "_b", F.col("batch").cast("long")
+        ).drop("batch")
+        payload = [c for c in df.columns if c != "_b"]
+        return (
+            df.groupBy(*[F.col(k) for k in self.keys])
+            .agg(F.max_by(F.struct(*payload), F.col("_b")).alias("_r"))
+            .select("_r.*")
+        )
+
     # -- compaction (small-file management) -----------------------------------
     #
     # A micro-batch sink accrues one directory (≥1 file) per batch: at a

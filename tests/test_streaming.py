@@ -1301,3 +1301,41 @@ def test_corpus_admission_stream_matches_batch(spark, tmp_path):
         .parquet(f"{tmp_path}/out/docs")
     )
     assert idx.where("doc_id >= 2000 and doc_id < 3000").count() == 0
+
+
+def test_sink_cdc_and_time_travel(spark, tmp_path):
+    """read_changes(since) feeds incremental consumers exactly the
+    later upsert images; read_merged_as_of(b) reproduces any historical
+    snapshot; both refuse gracefully once vacuum removed the dirs."""
+    import pytest as _pytest
+
+    sink = MergeSink(str(tmp_path / "tblcdc"), stats="minimal")
+    for b in range(6):
+        rows = [
+            _row("hot", 0, b, text=f"v{b}"),
+            _row(f"k{b}", 1, b, text=f"only-{b}"),
+        ]
+        sink.process(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), b)
+
+    # CDC from high-watermark 3: exactly batches 4 and 5, raw images
+    ch = sink.read_changes(spark, since_batch=3)
+    got = {(r.conv_id, r.turn_idx, r.batch) for r in ch.select("conv_id", "turn_idx", "batch").collect()}
+    assert got == {("hot", 0, 4), ("k4", 1, 4), ("hot", 0, 5), ("k5", 1, 5)}
+
+    # snapshot after batch 2: hot shows v2, k3..k5 absent
+    snap = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in sink.read_merged_as_of(spark, 2).collect()
+    }
+    assert snap[("hot", 0)] == "v2"
+    assert ("k3", 1) not in snap and len(snap) == 4
+
+    # after compaction+vacuum, pre-horizon reads refuse with guidance
+    from pyspark.sql import functions as F
+
+    sink.compact(spark, {"day": F.to_date("ts")})
+    sink.vacuum()
+    with _pytest.raises(ValueError, match="read_merged"):
+        sink.read_changes(spark, since_batch=3)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        sink.read_merged_as_of(spark, 2)
