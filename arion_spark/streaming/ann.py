@@ -1,0 +1,137 @@
+"""Streaming ANN serving: a continuous stream of query vectors answered
+against a static SRP-bucketed corpus index.
+
+The batch form (functions/similarity.lsh_topk, oracle query ``srp_ann``)
+joins corpus and queries in one plan.  The serving deployment inverts
+the lifecycle: the corpus is indexed ONCE — bucket assignment is a
+narrow map, written partitioned by bucket — and each micro-batch of
+queries probes only the bucket partitions it hashes into:
+
+* bucket ids are bounded (2^n_planes, e.g. 64), so the per-batch
+  partition filter is a driver-side list of at most that many values —
+  the scan reads only the probed buckets, never the whole corpus;
+* the probe join broadcasts the (small) query batch against the pruned
+  corpus partitions: the corpus is never shuffled, the same property
+  the dedup guard's bucket index has;
+* results land in a MergeSink keyed (query_id, rank) — re-submitted
+  queries upsert their previous answer, replayed batches are no-ops.
+
+Scoring reuses lsh_topk's expressions verbatim (same rounding, same
+tie-break), so the streamed answer for a query equals the batch answer
+by construction — pinned by the twin test across a checkpoint restart.
+
+At cluster scale the index is an Iceberg table bucketed by ``bucket``
+and the probe is a storage-partitioned join; multi-probe (flip the
+lowest-margin plane bits, similarity.ivf_probe pattern) raises recall
+without touching the layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from arion_spark.functions.similarity import cosine, srp_bucket
+from arion_spark.streaming.sink import MergeSink
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def build_srp_index(
+    corpus: DataFrame, index_dir: str, dim: int, n_planes: int = 6
+) -> None:
+    """One-time corpus indexing: (neighbor_id, cv) partitioned by SRP
+    bucket.  Rebuild = overwrite (the index is derived data)."""
+    (
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            srp_bucket(F.col("embedding"), dim, n_planes).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+
+
+def ann_serve_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Answer one batch of queries: bucket-prune the index, broadcast
+    the batch, exact cosine on candidates, top-k per query."""
+    qb = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        srp_bucket(F.col("embedding"), dim, n_planes).alias("bucket"),
+    )
+    probed = [r["bucket"] for r in qb.select("bucket").distinct().collect()]
+    idx = (
+        spark.read.schema("neighbor_id long, cv array<double>, bucket int")
+        .option("basePath", index_dir)
+        .parquet(index_dir)
+        .where(F.col("bucket").isin(probed))
+    )
+    scored = (
+        idx.join(F.broadcast(qb), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 3).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def run_ann_stream(
+    spark: SparkSession,
+    replay_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    max_files_per_trigger: int = 1,
+) -> tuple[StreamingQuery, MergeSink]:
+    sink = MergeSink(out_dir, keys=("query_id", "rank"), stats="minimal")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if sink.is_committed(batch_id):
+            return
+        res = ann_serve_batch(spark, index_dir, batch_df, dim, k, n_planes)
+        sink.process(res, batch_id)
+
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return query, sink

@@ -1339,3 +1339,79 @@ def test_sink_cdc_and_time_travel(spark, tmp_path):
         sink.read_changes(spark, since_batch=3)
     with _pytest.raises(ValueError, match="vacuumed"):
         sink.read_merged_as_of(spark, 2)
+
+
+# ---------------------------------------------------------------------------
+# streaming ANN serving (streaming/ann.py)
+
+
+def _vec_rows(ids, dim=8):
+    return [
+        (i, [float(((i * 31 + j * 17) % 13) - 6) for j in range(dim)])
+        for i in ids
+    ]
+
+
+def test_ann_serve_stream_matches_batch_lsh_topk(spark, tmp_path):
+    """Queries streamed in 3 chunks against the static SRP index ==
+    batch lsh_topk over the same corpus+queries, across a restart;
+    the per-batch probe partition-prunes the index."""
+    from arion_spark.functions.similarity import lsh_topk
+    from arion_spark.streaming.ann import (
+        VEC_SCHEMA,
+        ann_serve_batch,
+        build_srp_index,
+        run_ann_stream,
+    )
+
+    dim, k, planes = 8, 3, 4
+    corpus = spark.createDataFrame(_vec_rows(range(40), dim), VEC_SCHEMA)
+    queries = spark.createDataFrame(_vec_rows(range(0, 12), dim), VEC_SCHEMA)
+    index_dir = str(tmp_path / "index")
+    build_srp_index(corpus, index_dir, dim, planes)
+
+    # replay chunks of 4 queries each
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    chunk_paths = []
+    for c in range(3):
+        p = f"{replay}/chunk={c:04d}"
+        spark.createDataFrame(
+            _vec_rows(range(c * 4, c * 4 + 4), dim), VEC_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        chunk_paths.append(p)
+
+    staged = str(tmp_path / "staged")
+    _stage_chunks(chunk_paths, staged, 0, 2)
+    args = (str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q, sink = run_ann_stream(spark, staged, index_dir, *args, dim=dim, k=k,
+                             n_planes=planes)
+    q.processAllAvailable()
+    q.stop()
+    _stage_chunks(chunk_paths, staged, 2, 3)
+    q, sink = run_ann_stream(spark, staged, index_dir, *args, dim=dim, k=k,
+                             n_planes=planes)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in sink.read_merged(spark).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in lsh_topk(corpus, queries, dim=dim, k=k, n_planes=planes).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the probe scan is partition-pruned to the batch's buckets
+    one = spark.createDataFrame(_vec_rows([0], dim), VEC_SCHEMA)
+    plan = (
+        ann_serve_batch(spark, index_dir, one, dim, k, planes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:150]
