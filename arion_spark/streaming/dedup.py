@@ -182,12 +182,107 @@ class DedupGuard:
     _SCHEMAS = {"docs": _DOCS_IDX, "buckets": _BUCKET_IDX, "kept": _KEPT}
 
     def _read_committed(self, spark: SparkSession, sub: str, ids: list[int]) -> DataFrame:
-        df = (
-            spark.read.schema(self._SCHEMAS[sub] + _WITH_BATCH)
-            .option("basePath", f"{self.table_dir}/{sub}")
-            .parquet(f"{self.table_dir}/{sub}")
-        )
-        return df.where(F.col("batch").isin(ids))
+        """Current committed view of one index table: compacted base (if
+        any) plus still-incremental batch dirs.  Returns payload columns
+        only (no ``batch``)."""
+        comp = self.latest_compaction()
+        schema = self._SCHEMAS[sub]
+        legs = []
+        if comp is not None:
+            legs.append(
+                spark.read.schema(schema).parquet(
+                    f"{self.table_dir}/{sub}_base/upto={comp['upto']:012d}"
+                )
+            )
+            ids = [i for i in ids if i > comp["upto"]]
+        if ids:
+            legs.append(
+                spark.read.schema(schema + _WITH_BATCH)
+                .option("basePath", f"{self.table_dir}/{sub}")
+                .parquet(f"{self.table_dir}/{sub}")
+                .where(F.col("batch").isin(ids))
+                .drop("batch")
+            )
+        if not legs:
+            return spark.createDataFrame([], schema)
+        df = legs[0]
+        for leg in legs[1:]:
+            df = df.unionByName(leg)
+        return df
+
+    # -- index compaction -----------------------------------------------------
+    #
+    # The guard's history index accrues one dir per micro-batch exactly
+    # like the MERGE sink's data — and is re-read EVERY batch, so the
+    # small-file tax compounds: at a day of 5-second admission batches
+    # the probe would list ~17k dirs per trigger.  compact() folds all
+    # committed batches into one base per table; the buckets base is
+    # re-partitioned GLOBALLY by bp (per-batch dirs each hold all 16 bp
+    # values — ~16·batches dirs; the base holds exactly 16), so the
+    # history probe's partition pruning actually tightens after
+    # compaction.  Same crash discipline as MergeSink: bases first,
+    # marker via atomic rename, readers switch at the marker, commit
+    # markers survive vacuum so replayed ids stay no-ops.
+
+    def _compaction_marker(self, upto: int) -> str:
+        return f"{self.table_dir}/_compactions/{upto:012d}.json"
+
+    def latest_compaction(self) -> dict | None:
+        cdir = f"{self.table_dir}/_compactions"
+        if not os.path.isdir(cdir):
+            return None
+        names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+        if not names:
+            return None
+        with open(f"{cdir}/{names[-1]}") as f:
+            return json.load(f)
+
+    def compact(self, spark: SparkSession) -> dict:
+        ids = self.committed_ids()
+        if not ids:
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        upto = max(ids)
+        prev = self.latest_compaction()
+        if prev is not None and prev["upto"] == upto:
+            return prev
+        for sub in ("docs", "buckets", "kept"):
+            df = self._read_committed(spark, sub, ids)
+            w = df.write.mode("overwrite")
+            if sub == "buckets":
+                w = w.partitionBy("bp")
+            w.parquet(f"{self.table_dir}/{sub}_base/upto={upto:012d}")
+        os.makedirs(f"{self.table_dir}/_compactions", exist_ok=True)
+        marker = {"upto": upto}
+        tmp = self._compaction_marker(upto) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, self._compaction_marker(upto))  # readers switch here
+        return marker
+
+    def vacuum(self) -> int:
+        """Delete batch dirs folded into the latest bases (and superseded
+        bases); commit markers are kept.  Returns dirs removed."""
+        import shutil
+
+        comp = self.latest_compaction()
+        if comp is None:
+            return 0
+        upto = comp["upto"]
+        removed = 0
+        for sub in ("docs", "buckets", "kept"):
+            d = f"{self.table_dir}/{sub}"
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    if name.startswith("batch=") and int(name.split("=")[1]) <= upto:
+                        shutil.rmtree(f"{d}/{name}")
+                        removed += 1
+            base = f"{self.table_dir}/{sub}_base"
+            if os.path.isdir(base):
+                for name in os.listdir(base):
+                    if name.startswith("upto=") and int(name.split("=")[1]) < upto:
+                        shutil.rmtree(f"{base}/{name}")
+                        removed += 1
+        return removed
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):

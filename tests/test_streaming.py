@@ -1415,3 +1415,45 @@ def test_ann_serve_stream_matches_batch_lsh_topk(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split(
         "PartitionFilters"
     )[1][:150]
+
+
+def test_dedup_guard_index_compaction(spark, tmp_path):
+    """compact() folds the guard's per-batch index dirs into bases
+    (buckets re-partitioned globally by bp); admission decisions,
+    replay no-ops and kept sets are identical before/after compact and
+    vacuum, and new batches probe the BASE index correctly."""
+    from arion_spark.streaming.dedup import DedupGuard
+
+    corpus = _doc_corpus(spark).where("doc_id < 1000")
+    g = DedupGuard(str(tmp_path / "out"))
+    g.process(corpus.where("doc_id < 10"), 0)
+    g.process(corpus.where("doc_id >= 10"), 1)
+
+    def kept():
+        return {r["doc_id"] for r in g.read_kept(spark).collect()}
+
+    before = kept()
+    assert before == {r["doc_id"] for r in corpus.collect()}  # all unique
+    m = g.compact(spark)
+    assert m["upto"] == 1 and kept() == before
+    assert g.vacuum() == 6  # 2 batches × 3 tables
+    assert kept() == before
+
+    # a new batch must reject a near-dup of a BASE-indexed doc (batch 0)
+    dup_text = " ".join(f"w3x{j}" for j in range(30))
+    nxt = spark.createDataFrame(
+        [(9000, dup_text), (9001, "zq " * 40)], "doc_id long, text string"
+    )
+    g.process(nxt, 2)
+    after = kept()
+    assert 9001 in after and 9000 not in after
+    assert after - before == {9001}
+
+    # replay of a folded-and-vacuumed batch id: still a no-op
+    g.process(nxt, 0)
+    assert kept() == after and len(g.lineage()) == 3
+
+    # second compaction folds base + increment
+    m2 = g.compact(spark)
+    assert m2["upto"] == 2 and g.vacuum() >= 4
+    assert kept() == after
