@@ -102,6 +102,77 @@ def srp_bucket(vec: Column, dim: int, n_planes: int = 8, seed: str = "") -> Colu
     return bucket.cast("int")
 
 
+def srp_probe_buckets(
+    vec: Column, dim: int, n_planes: int = 6, seed: str = ""
+) -> Column:
+    """Two-probe SRP bucket set: ``[own bucket, own bucket with the
+    lowest-|margin| plane flipped]`` (classic multi-probe LSH — the
+    plane whose projection is nearest zero is the likeliest sign error,
+    so probing its flip recovers most of the recall a wider bucket
+    would).  Ties broken by lowest plane index — deterministic and
+    SQL-mirrorable.  Query-side only: the corpus keeps exactly one
+    bucket per vector, so probe join outputs are duplicate-free by
+    construction.  The projection expressions are interpreted
+    higher-order folds evaluated a handful of times each — fine for the
+    (small) query side; never put this on the corpus side."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    projs = [_dot(vec, F.array(*[F.lit(x) for x in row])) for row in planes]
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + F.when(projs[p] > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    bucket = bucket.cast("int")
+    absmin = F.least(*[F.abs(pr) for pr in projs])
+    alt = F.when(F.abs(projs[0]) == absmin, bucket.bitwiseXOR(F.lit(1)))
+    for p in range(1, n_planes):
+        alt = alt.when(
+            F.abs(projs[p]) == absmin, bucket.bitwiseXOR(F.lit(1 << p))
+        )
+    return F.array(bucket, alt.cast("int"))
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """lsh_topk with two-probe queries: candidates = corpus vectors in
+    either probed bucket.  Strictly higher recall than single-probe at
+    ~2× candidate cost; the corpus side is untouched (one bucket per
+    vector, no index change) — the serving deployment reads the same
+    partitioned index (streaming/ann.py)."""
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        srp_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            srp_probe_buckets(F.col(vec_col), dim, n_planes)
+        ).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 3).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

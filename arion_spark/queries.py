@@ -1279,6 +1279,57 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_srp_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-probe SRP ANN: each query probes its own bucket plus the
+    lowest-|margin| plane flip (similarity.srp_probe_buckets) — strictly
+    higher recall than `srp_ann` at ~2× candidate cost, corpus index
+    unchanged.  The oracle mirrors the same margin-argmin flip."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.lsh_multiprobe_topk(
+        e, e.where(F.col("vec_id") < 8), dim=64, k=5
+    )
+
+
+def _sql_srp_multiprobe_ann(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    planes = similarity._hyperplanes(dim, n_planes)
+    dots = [
+        f"list_dot_product(v, [{', '.join(repr(x) for x in row)}])"
+        for row in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {dots[p]} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    absmin = "least(" + ", ".join(f"abs({d})" for d in dots) + ")"
+    alt = (
+        "CASE "
+        + " ".join(
+            f"WHEN abs({dots[p]}) = am THEN xor(bucket, {1 << p})"
+            for p in range(n_planes)
+        )
+        + " END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket, {absmin} AS am FROM e),
+qp AS (
+  SELECT vec_id, v, unnest([bucket, {alt}]) AS probe
+  FROM b WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round({_D_COS.format(a='q.v', b='c.v')}, 3) AS score
+  FROM qp q JOIN b c ON c.bucket = q.probe
+  WHERE q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract over Arrow batches.
 
@@ -1996,6 +2047,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("doc_fingerprints", q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),
     ("topk_docs", q_topk_docs, _SQL_TOPK_DOCS),
     ("srp_ann", q_srp_ann, _sql_srp_ann()),
+    ("srp_multiprobe_ann", q_srp_multiprobe_ann, _sql_srp_multiprobe_ann()),
     ("media_features", q_media_features, _SQL_MEDIA_FEATURES),
     ("media_resize", q_media_resize, _SQL_MEDIA_RESIZE),
     ("asof_join", q_asof_join, _SQL_ASOF_JOIN),

@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from arion_spark.functions.similarity import cosine, srp_bucket
+from arion_spark.functions.similarity import (
+    cosine,
+    srp_bucket,
+    srp_probe_buckets,
+)
 from arion_spark.streaming.sink import MergeSink
 
 VEC_SCHEMA = T.StructType(
@@ -69,13 +73,21 @@ def ann_serve_batch(
     dim: int,
     k: int = 5,
     n_planes: int = 6,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Answer one batch of queries: bucket-prune the index, broadcast
-    the batch, exact cosine on candidates, top-k per query."""
+    the batch, exact cosine on candidates, top-k per query.
+    ``n_probes=2`` adds the lowest-margin plane flip per query
+    (multi-probe recall, ~2× candidates, same index)."""
+    bucket_col = (
+        F.explode(srp_probe_buckets(F.col("embedding"), dim, n_planes))
+        if n_probes == 2
+        else srp_bucket(F.col("embedding"), dim, n_planes)
+    )
     qb = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        srp_bucket(F.col("embedding"), dim, n_planes).alias("bucket"),
+        bucket_col.alias("bucket"),
     )
     probed = [r["bucket"] for r in qb.select("bucket").distinct().collect()]
     idx = (
@@ -112,6 +124,7 @@ def run_ann_stream(
     dim: int,
     k: int = 5,
     n_planes: int = 6,
+    n_probes: int = 1,
     max_files_per_trigger: int = 1,
 ) -> tuple[StreamingQuery, MergeSink]:
     sink = MergeSink(out_dir, keys=("query_id", "rank"), stats="minimal")
@@ -119,7 +132,9 @@ def run_ann_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if sink.is_committed(batch_id):
             return
-        res = ann_serve_batch(spark, index_dir, batch_df, dim, k, n_planes)
+        res = ann_serve_batch(
+            spark, index_dir, batch_df, dim, k, n_planes, n_probes
+        )
         sink.process(res, batch_id)
 
     stream = (

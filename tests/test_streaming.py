@@ -1457,3 +1457,48 @@ def test_dedup_guard_index_compaction(spark, tmp_path):
     m2 = g.compact(spark)
     assert m2["upto"] == 2 and g.vacuum() >= 4
     assert kept() == after
+
+
+def test_ann_serve_multiprobe_matches_batch_and_raises_recall(spark, tmp_path):
+    """Two-probe serving == batch lsh_multiprobe_topk; candidate sets
+    strictly contain the single-probe ones (recall only goes up)."""
+    from arion_spark.functions.similarity import lsh_multiprobe_topk, lsh_topk
+    from arion_spark.streaming.ann import (
+        VEC_SCHEMA,
+        ann_serve_batch,
+        build_srp_index,
+    )
+
+    dim, k, planes = 8, 3, 4
+    corpus = spark.createDataFrame(_vec_rows(range(40), dim), VEC_SCHEMA)
+    queries = spark.createDataFrame(_vec_rows(range(12), dim), VEC_SCHEMA)
+    index_dir = str(tmp_path / "index")
+    build_srp_index(corpus, index_dir, dim, planes)
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in ann_serve_batch(
+            spark, index_dir, queries, dim, k, planes, n_probes=2
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in lsh_multiprobe_topk(
+            corpus, queries, dim=dim, k=k, n_planes=planes
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # multi-probe answers dominate single-probe: per query, at least as
+    # many neighbors, and every score at a given rank is >= single's
+    single = lsh_topk(corpus, queries, dim=dim, k=k, n_planes=planes).collect()
+    s_by_q = {}
+    for r in single:
+        s_by_q.setdefault(r.query_id, {})[r.rank] = r.score
+    m_by_q = {}
+    for (q, rank), (_, score) in got.items():
+        m_by_q.setdefault(q, {})[rank] = score
+    assert len(got) >= len(single)
+    for q, ranks in s_by_q.items():
+        for rank, score in ranks.items():
+            assert m_by_q[q][rank] >= score
