@@ -1502,3 +1502,74 @@ def test_ann_serve_multiprobe_matches_batch_and_raises_recall(spark, tmp_path):
     for q, ranks in s_by_q.items():
         for rank, score in ranks.items():
             assert m_by_q[q][rank] >= score
+
+
+# ---------------------------------------------------------------------------
+# crash-window fault injection: data written, marker NOT yet committed
+
+
+def test_merge_sink_crash_before_marker_heals_on_replay(spark, tmp_path):
+    """Simulate a crash in the window between the batch-dir write and
+    the atomic marker rename: the data dir exists, the marker doesn't.
+    Readers must not see the orphan; the replay must overwrite it and
+    commit exactly once."""
+    import pytest as _pytest
+
+    sink = MergeSink(str(tmp_path / "tbl"), stats="minimal")
+    sink.process(
+        spark.createDataFrame([_row("c1", 0, 0, text="ok")], TRANSCRIPT_SCHEMA), 0
+    )
+    # batch 1 "crashes": write data dir by hand, no marker
+    orphan = spark.createDataFrame(
+        [_row("c2", 0, 1, text="orphan")], TRANSCRIPT_SCHEMA
+    )
+    orphan.write.mode("overwrite").parquet(f"{tmp_path}/tbl/data/batch={1:012d}")
+    assert not sink.is_committed(1)
+    got = {r.conv_id for r in sink.read_merged(spark).collect()}
+    assert got == {"c1"}  # orphan invisible
+    # replay of batch 1 (same id, the content the retry would carry)
+    sink.process(
+        spark.createDataFrame([_row("c2", 0, 1, text="retry")], TRANSCRIPT_SCHEMA), 1
+    )
+    rows = {r.conv_id: r.text for r in sink.read_merged(spark).collect()}
+    assert rows == {"c1": "ok", "c2": "retry"}  # orphan content replaced
+    assert [c["batch_id"] for c in sink.committed_batches()] == [0, 1]
+
+
+def test_dedup_guard_crash_before_marker_heals_on_replay(spark, tmp_path):
+    """Same window for the admission guard: orphan index/kept dirs from
+    an uncommitted batch must not poison history (an orphan doc may NOT
+    drop later docs) and are overwritten by the replay."""
+    from arion_spark.streaming.dedup import DedupGuard
+
+    g = DedupGuard(str(tmp_path / "out"))
+    c0 = _doc_corpus(spark).where("doc_id < 10")
+    g.process(c0, 0)
+    # batch 1 "crashes" after writing its dirs: fabricate by processing
+    # then deleting the marker
+    c1 = _doc_corpus(spark).where("doc_id >= 10 and doc_id < 1000")
+    g.process(c1, 1)
+    os.remove(g._commit_path(1))
+    # history = batch 0 only: a near-dup of a batch-1 doc is ADMITTED
+    # (uncommitted work must not influence admission)
+    probe = spark.createDataFrame(
+        [(8000, " ".join(f"w12x{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    g.process(probe, 2)
+    kept = {r["doc_id"] for r in g.read_kept(spark).collect()}
+    assert 8000 in kept and kept.isdisjoint({r["doc_id"] for r in c1.collect()})
+    # replay of batch 1 now lands — but 8000 was (correctly) admitted
+    # first, so the replayed doc 12 is now the duplicate: exactly ONE
+    # of each near-dup pair survives regardless of the crash ordering
+    g.process(c1, 1)
+    probe2 = spark.createDataFrame(
+        [(8001, " ".join(f"w13x{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    g.process(probe2, 3)
+    kept = {r["doc_id"] for r in g.read_kept(spark).collect()}
+    assert 8001 not in kept  # rejected against the replayed doc 13
+    c1_ids = {r["doc_id"] for r in c1.collect()}
+    assert 12 not in kept and 8000 in kept  # the pair resolved to one
+    assert c1_ids - {12} <= kept
