@@ -1,0 +1,61 @@
+"""spark-submit job entry points, driven as black-box subprocesses
+(the local twin of `spark-submit jobs/...` — same argv surface)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_run_dedup_job_once(spark, tmp_path):
+    """--once drains the staged chunks, prints the lineage JSON line,
+    leaves a committed kept table, and --compact-every folds the index."""
+    from arion_spark.streaming.dedup import write_doc_chunks
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(25))) for i in range(24)]
+        + [(1000 + i, " ".join(f"tok{i}x{j}" for j in range(20))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    replay = str(tmp_path / "replay")
+    write_doc_chunks(corpus, replay, n_chunks=2)
+
+    env = dict(os.environ, PYTHONPATH=str(ROOT))
+    p = subprocess.run(
+        [
+            sys.executable,
+            str(ROOT / "jobs" / "run_dedup.py"),
+            "--input", replay,
+            "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--once",
+            "--compact-every", "1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=ROOT,
+        env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    line = json.loads(p.stdout.strip().splitlines()[-1])
+    assert line["batches"] == 2 and line["n_in"] == 30
+    assert line["n_kept"] + line["n_dropped"] == 30
+    # near-dup mutants (1000+) were dropped against their originals
+    assert line["n_dropped"] >= 6
+    # compaction ran: bases exist, folded batch dirs vacuumed
+    assert os.path.isdir(tmp_path / "out" / "buckets_base")
+    assert not any(  # vacuum after the final compact removed every folded dir
+        d.startswith("batch=") for d in os.listdir(tmp_path / "out" / "docs")
+    )
+    # kept table readable by the guard API
+    from arion_spark.streaming.dedup import DedupGuard
+
+    g = DedupGuard(str(tmp_path / "out"))
+    kept = {r["doc_id"] for r in g.read_kept(spark).collect()}
+    assert len(kept) == line["n_kept"] and all(k < 1000 for k in kept)
