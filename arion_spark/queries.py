@@ -104,6 +104,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -2013,6 +2017,128 @@ WHERE t.ts >= b.start AND t.ts < b."end"
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# relational breadth over the raw events table: pivot, JSON extraction,
+# and the everyday window-function suite
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: day × event_type → wide per-type (count, value mass)
+    columns.  Spark `pivot` with an EXPLICIT value list compiles to one
+    groupBy with conditional aggregates — a single shuffle, no Expand
+    and no second pass to discover the pivot values (never omit the
+    list at scale: value discovery is an extra distinct+collect)."""
+    e = _events(spark, sf_dir)
+    out = (
+        e.select(F.to_date("ts").alias("day"), "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("val"),
+        )
+    )
+    cols = [F.col("day")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("int").alias(f"{t}_n"))
+        cols.append(F.round(F.coalesce(F.col(f"{t}_val"), F.lit(0.0)), 4).alias(f"{t}_val"))
+    return out.select(*cols)
+
+
+_SQL_EVENT_PIVOT = "SELECT cast(ts AS DATE) AS day, " + ", ".join(
+    f"cast(count(*) FILTER (event_type = '{t}') AS INT) AS {t}_n, "
+    f"round(coalesce(sum(value) FILTER (event_type = '{t}'), 0), 4) AS {t}_val"
+    for t in _EVENT_TYPES
+) + " FROM events GROUP BY 1"
+
+
+def q_event_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling: `props` is a JSON string; `$.k` is
+    extracted with get_json_object — pure JVM path expression, no UDF
+    and no schema materialization (the right tool when only one field
+    of a ragged payload is needed; use from_json for full structs)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.countDistinct("k").cast("int").alias("n_distinct_k"),
+        )
+    )
+
+
+_SQL_EVENT_JSON = """
+WITH j AS (
+  SELECT event_type,
+    cast(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events)
+SELECT event_type, cast(count(*) AS INT) AS n,
+  min(k) AS min_k, max(k) AS max_k,
+  round(avg(k), 4) AS avg_k,
+  cast(count(DISTINCT k) AS INT) AS n_distinct_k
+FROM j GROUP BY event_type
+"""
+
+
+def q_event_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The everyday window-function suite in one query: per-user
+    event sequences (lag → inter-event gap), per-user aggregation,
+    then ntile quartiles and percent_rank over the user population.
+    Every ordering carries a unique tie-break (event_id / user_id) so
+    ntile's row assignment and percent_rank are deterministic across
+    engines."""
+    e = _events(spark, sf_dir)
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp").cast("double")
+    per = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("gap_s", F.round(ep - F.lag(ep).over(seq), 6))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    pop = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return per.select(
+        "user_id",
+        "n_events",
+        "avg_gap_s",
+        "total_value",
+        F.ntile(4).over(pop).alias("value_quartile"),
+        F.round(F.percent_rank().over(pop), 6).alias("value_pr"),
+    )
+
+
+_SQL_EVENT_USER_ANALYTICS = """
+WITH seq AS (
+  SELECT user_id, event_id, value,
+    round(epoch(ts) - epoch(lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id)), 6) AS gap_s
+  FROM events),
+per AS (
+  SELECT user_id, cast(count(*) AS INT) AS n_events,
+    round(avg(gap_s), 4) AS avg_gap_s,
+    round(sum(value), 4) AS total_value
+  FROM seq GROUP BY user_id)
+SELECT user_id, n_events, avg_gap_s, total_value,
+  cast(ntile(4) OVER (ORDER BY total_value DESC, user_id) AS INT)
+    AS value_quartile,
+  round(percent_rank() OVER (ORDER BY total_value DESC, user_id), 6)
+    AS value_pr
+FROM per
+"""
+
+
 _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("chain_flagship", q_chain_flagship, _SQL_CHAIN_FLAGSHIP),
     ("read_meta_full", q_read_meta_full, _SQL_READ_META_FULL),
@@ -2059,6 +2185,9 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("stratified_sample", q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     ("corpus_prep", q_corpus_prep, _SQL_CORPUS_PREP),
     ("role_cube", q_role_cube, _SQL_ROLE_CUBE),
+    ("event_pivot", q_event_pivot, _SQL_EVENT_PIVOT),
+    ("event_json_stats", q_event_json_stats, _SQL_EVENT_JSON),
+    ("event_user_analytics", q_event_user_analytics, _SQL_EVENT_USER_ANALYTICS),
     ("spike_range_join", q_spike_range_join, _SQL_SPIKE_RANGE_JOIN),
 ]
 
