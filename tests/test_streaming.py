@@ -1573,3 +1573,92 @@ def test_dedup_guard_crash_before_marker_heals_on_replay(spark, tmp_path):
     c1_ids = {r["doc_id"] for r in c1.collect()}
     assert 12 not in kept and 8000 in kept  # the pair resolved to one
     assert c1_ids - {12} <= kept
+
+
+# ---------------------------------------------------------------------------
+# one-pass multi-sink fan-out (streaming/fanout.py)
+
+
+def test_fanout_one_pass_all_sinks_match_batch(spark, transcripts_df, tmp_path):
+    """ONE stream read feeds chain MERGE + minute rollup + KMV + top-k,
+    across a mid-stream restart: the chain table equals the dedicated
+    single-sink pipeline; every summary equals batch recomputation over
+    the chain's own merged output; all stores converge to identical
+    committed-id sets (per-batch convergence after replay)."""
+    from pyspark.sql import functions as F
+
+    from arion_spark.functions import sketch
+    from arion_spark.operators import rollup as op_rollup
+    from arion_spark.streaming.fanout import run_fanout_stream
+
+    replay = str(tmp_path / "replay")
+    chunks = write_replay_chunks(transcripts_df, replay, n_chunks=4)
+    staged = str(tmp_path / "staged")
+    _stage_chunks(chunks, staged, 0, 2)
+    args = (str(tmp_path / "fan"), str(tmp_path / "ckpt"))
+    q, fan = run_fanout_stream(spark, SPEC, staged, *args)
+    q.processAllAvailable()
+    q.stop()
+    _stage_chunks(chunks, staged, 2, 4)
+    q, fan = run_fanout_stream(spark, SPEC, staged, *args)
+    q.processAllAvailable()
+    q.stop()
+
+    assert fan.committed_consistent()
+
+    # chain table == the dedicated single-sink pipeline
+    replay_ref = str(tmp_path / "replay_ref")
+    write_replay_chunks(transcripts_df, replay_ref, n_chunks=4)
+    sink_ref = _run(spark, replay_ref, str(tmp_path), tag="fanref")
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    got_chain = {key(r): r["conv_fp"] for r in fan.read_chain(spark).collect()}
+    want_chain = {
+        key(r): r["conv_fp"] for r in sink_ref.read_merged(spark).collect()
+    }
+    assert got_chain == want_chain
+
+    chain_df = fan.read_chain(spark)
+
+    # minute/hour/day cascade == batch cascade over the merged table
+    ckey = lambda r: (r["grain"], r["bucket_ts"])
+    cval = lambda r: (r["n_turns"], r["n_user_turns"], r["sum_chars"], r["max_text_len"])
+    got_c = {ckey(r): cval(r) for r in fan.read_cascade(spark).collect()}
+    want_c = {ckey(r): cval(r) for r in op_rollup.cascade(chain_df).collect()}
+    assert got_c == want_c and len(got_c) > 0
+
+    # KMV == one-shot partial+estimate over the merged table
+    got_k = {
+        (r["hour"],): (r["n_kept"], r["est"])
+        for r in fan.read_kmv(spark).collect()
+    }
+    want_k = {
+        (r["hour"],): (r["n_kept"], r["est"])
+        for r in sketch.kmv_estimate(
+            sketch.kmv_partial(
+                chain_df.select(
+                    F.date_trunc("hour", "ts").alias("hour"), "conv_id"
+                ),
+                ["hour"],
+                F.col("conv_id"),
+                64,
+            ),
+            ["hour"],
+            64,
+        ).collect()
+    }
+    assert got_k == want_k and len(got_k) > 0
+
+    # top-k tokens == exact batch top-k over the merged table
+    toks = chain_df.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.explode(F.split("text", r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    got_t = {
+        (r["hour"], r["rank"]): (r["term"], r["n"])
+        for r in fan.read_topk(spark, k=5).collect()
+    }
+    want_t = {
+        (r["hour"], r["rank"]): (r["term"], r["n"])
+        for r in sketch.topk_terms(toks, ["hour"], F.col("tok"), k=5).collect()
+    }
+    assert got_t == want_t and len(got_t) > 0
