@@ -85,7 +85,8 @@ def detect_user_tools_assistant(t: DataFrame) -> DataFrame:
 
 
 #: pattern element: (role, quantifier); quantifier "1" = exactly one,
-#: "+" = one or more.  Compiled/validated by compile_pattern().
+#: "+" = one or more (greedy), "?" = zero or one (greedy).  Compiled /
+#: validated by compile_pattern(); matches always consume ≥1 row.
 DEFAULT_PATTERN = (("user", "1"), ("tool", "+"), ("assistant", "1"))
 
 
@@ -107,14 +108,18 @@ def compile_pattern(pattern) -> tuple[tuple[str, str], ...]:
     if not pat:
         raise ValueError("cep: empty pattern")
     for r, q in pat:
-        if q not in ("1", "+"):
+        if q not in ("1", "+", "?"):
             raise ValueError(f"cep: unknown quantifier {q!r}")
     for i, (r, q) in enumerate(pat[:-1]):
-        if q == "+" and pat[i + 1][0] == r:
+        if q in ("+", "?") and pat[i + 1][0] == r:
             raise ValueError(
-                f"cep: ambiguous pattern — '+' element {r!r} followed by the "
-                "same role needs backtracking"
+                f"cep: ambiguous pattern — {q!r} element {r!r} followed by "
+                "the same role needs backtracking"
             )
+    if all(q == "?" for _, q in pat):
+        raise ValueError(
+            "cep: all-optional pattern would admit empty matches"
+        )
     return pat
 
 
@@ -129,20 +134,28 @@ def _nfa_step(pat, pos: int, cnt: int, role: str):
         return None
     r, q = pat[pos]
     if role == r:
-        return (pos + 1, 0) if q == "1" else (pos, cnt + 1)
+        # '1' advances; '?' consumes its one allowed row (greedy) and
+        # advances; '+' stays in the run
+        return (pos, cnt + 1) if q == "+" else (pos + 1, 0)
     if q == "+" and cnt >= 1:
         return _nfa_step(pat, pos + 1, 0, role)
+    if q == "?":
+        return _nfa_step(pat, pos + 1, 0, role)  # skip the optional
     return None
 
 
 def _completable(pat, pos: int, cnt: int) -> bool:
     """True when the active partial needs no further input to be a match:
-    the NFA sits on the FINAL element, it is a ``+``, and the run has
-    consumed ≥1 row.  Such a partial completes (ending at the last
-    consumed row) when the run breaks or the conversation ends — the only
-    way a trailing-``+`` pattern can ever finish, since ``_nfa_step``
-    cannot advance past the last element."""
-    return pos == len(pat) - 1 and pat[pos][1] == "+" and cnt >= 1
+    the CURRENT element is satisfied (a ``+`` run with ≥1 row, or a
+    ``?``) and every element after it is optional.  Such a partial
+    completes (ending at the last consumed row) when the run breaks or
+    the conversation ends — the only way a trailing-``+``/``?`` pattern
+    can ever finish, since ``_nfa_step`` cannot advance past the end."""
+    if pos >= len(pat):
+        return False
+    r, q = pat[pos]
+    satisfied = (q == "+" and cnt >= 1) or q == "?"
+    return satisfied and all(q2 == "?" for _, q2 in pat[pos + 1 :])
 
 
 def _run_nfa(pat, rows):

@@ -231,3 +231,97 @@ def test_kmv_matches_python(spark, keys):
     est = float(len(kept)) if len(us) < 16 else 15.0 / kept[15]
     assert r["n_kept"] == len(kept)
     assert r["est"] == pytest.approx(round(est, 4))
+
+
+def _brute_force_optional_tool(roles: list[str]) -> list[tuple[int, int]]:
+    """(start, end) for user → tool? → assistant under the NFA's
+    single-partial restart semantics (the row that kills a partial is
+    retried as a fresh start) — written WITHOUT the NFA."""
+    out, i = [], 0
+    while i < len(roles):
+        if roles[i] != "user":
+            i += 1
+            continue
+        j = i + 1
+        if j < len(roles) and roles[j] == "tool":
+            j += 1
+        if j < len(roles) and roles[j] == "assistant":
+            out.append((i, j))
+            i = j + 1
+        elif j == len(roles):
+            break
+        else:
+            i = j  # the killer row may itself start a new partial
+    return out
+
+
+@given(
+    st.lists(
+        st.sampled_from(["user", "assistant", "tool", "system"]),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cep_optional_matches_brute_force(roles):
+    from arion_spark.operators.cep import _run_nfa, compile_pattern
+
+    rows = [(i, r, float(i)) for i, r in enumerate(roles)]
+    pat = compile_pattern([("user", "1"), ("tool", "?"), ("assistant", "1")])
+    got = [(m[0], m[2]) for m in _run_nfa(pat, rows)]
+    assert got == _brute_force_optional_tool(roles)
+
+
+def _brute_force_trailing_optional(roles: list[str]) -> list[tuple[int, int]]:
+    """(start, end) for user → tool?: every user matches, greedily
+    absorbing one following tool — written WITHOUT the NFA."""
+    out, i = [], 0
+    while i < len(roles):
+        if roles[i] == "user":
+            if i + 1 < len(roles) and roles[i + 1] == "tool":
+                out.append((i, i + 1))
+                i += 2
+            else:
+                out.append((i, i))
+                i += 1
+        else:
+            i += 1
+    return out
+
+
+@given(
+    st.lists(
+        st.sampled_from(["user", "assistant", "tool", "system"]),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cep_trailing_optional_matches_brute_force(roles):
+    from arion_spark.operators.cep import _run_nfa, compile_pattern
+
+    rows = [(i, r, float(i)) for i, r in enumerate(roles)]
+    pat = compile_pattern([("user", "1"), ("tool", "?")])
+    got = [(m[0], m[2]) for m in _run_nfa(pat, rows)]
+    assert got == _brute_force_trailing_optional(roles)
+
+
+def test_cep_plus_then_optional_suffix_completable():
+    """A '+' run followed only by optionals is completable: the suffix
+    may or may not be absorbed, breaks end the match at the last
+    consumed row, and end-of-input flushes."""
+    from arion_spark.operators.cep import _run_nfa, compile_pattern
+
+    pat = compile_pattern([("user", "1"), ("tool", "+"), ("system", "?")])
+
+    def run(roles):
+        return [
+            (m[0], m[2]) for m in _run_nfa(pat, [(i, r, float(i)) for i, r in enumerate(roles)])
+        ]
+
+    assert run(["user", "tool", "tool", "assistant"]) == [(0, 2)]  # break
+    assert run(["user", "tool", "system"]) == [(0, 2)]  # optional absorbed
+    assert run(["user", "tool"]) == [(0, 1)]  # end-of-input flush
+    assert run(["user", "system"]) == []  # '+' never satisfied
+    # optional absorbed, then the NEXT user starts a fresh partial
+    assert run(["user", "tool", "system", "user", "tool"]) == [(0, 2), (3, 4)]

@@ -1662,3 +1662,52 @@ def test_fanout_one_pass_all_sinks_match_batch(spark, transcripts_df, tmp_path):
         for r in sketch.topk_terms(toks, ["hour"], F.col("tok"), k=5).collect()
     }
     assert got_t == want_t and len(got_t) > 0
+
+
+def test_optional_quantifier_pattern_stream_matches_batch(spark, tmp_path):
+    """A '?' (zero-or-one) pattern — user → tool? → assistant — agrees
+    stream vs batch, for both the absorbed-optional and skipped-optional
+    paths, under out-of-order arrival."""
+    from arion_spark.operators import cep as op_cep
+    from arion_spark.streaming.cep import pattern_stream
+
+    pat = [("user", "1"), ("tool", "?"), ("assistant", "1")]
+    rows = [
+        _row("c1", 0, 0, "user"),
+        _row("c1", 1, 1, "tool"),       # absorbed
+        _row("c1", 2, 2, "assistant"),  # match (0..2)
+        _row("c2", 0, 0, "user"),
+        _row("c2", 1, 1, "assistant"),  # optional skipped -> match (0..1)
+        _row("c3", 0, 0, "user"),
+        _row("c3", 1, 1, "tool"),
+        _row("c3", 2, 2, "tool"),       # second tool kills the partial
+        _row("c3", 3, 3, "assistant"),
+    ]
+    replay = str(tmp_path / "replay_opt")
+    # out-of-order: c1 turn 1 arrives after turn 2
+    _write_chunk(spark, [rows[0], rows[2]] + rows[3:5], f"{replay}/ch1")
+    _write_chunk(spark, [rows[1]] + rows[5:], f"{replay}/ch2")
+    _write_chunk(spark, [_row("zz", 0, 6000, "system")], f"{replay}/ch9")
+
+    q = (
+        pattern_stream(read_replay_stream(spark, replay), pat, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("opt_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.conv_id, r.start_turn_idx): (r.end_turn_idx, r.n_turns)
+        for r in spark.sql(
+            "select * from opt_out where conv_id like 'c%'"
+        ).collect()
+    }
+    batch = {
+        (r.conv_id, r.start_turn_idx): (r.end_turn_idx, r.n_turns)
+        for r in op_cep.match_pattern(
+            spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), pat
+        ).collect()
+    }
+    assert got == batch == {("c1", 0): (2, 3), ("c2", 0): (1, 2)}
