@@ -1180,17 +1180,12 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_cosine_near_dup(
-    dim: int = 64, n_bands: int = 32, n_planes: int = 12
-) -> str:
-    """Banded-SRP near-dup oracle.  The hyperplanes are *derived in SQL*
-    from the same md5 recipe the Spark side uses
-    (similarity._hyperplanes: component (band, p, d) =
-    md5('band{b}:{p}:{d}')[:8] / 0xFFFFFFFF * 2 - 1) rather than inlined
-    as thousands of float literals; candidates = same (band, bucket),
-    verified by exact cosine — mirrors cosine_near_dup_pairs exactly."""
-    return f"""
-WITH {_D_DUP_EMBEDDINGS},
+def _sql_banded_cand_ctes(dim: int, n_bands: int, n_planes: int) -> str:
+    """Shared CTE chain: dup-embedding corpus → md5-derived hyperplanes
+    (same recipe as similarity._hyperplanes, derived in SQL rather than
+    inlined as thousands of float literals) → per-band buckets →
+    distinct (id_a < id_b) candidates sharing a (band, bucket)."""
+    return f"""{_D_DUP_EMBEDDINGS},
 pw AS (
   SELECT band, p,
     list((('0x' || substr(md5('band' || band || ':' || p || ':' || d), 1, 8))
@@ -1207,13 +1202,61 @@ bb AS (
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bb a JOIN bb b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
+
+
+def _sql_cosine_near_dup(
+    dim: int = 64, n_bands: int = 32, n_planes: int = 12
+) -> str:
+    """Banded-SRP near-dup oracle: candidates = same (band, bucket),
+    verified by exact cosine — mirrors cosine_near_dup_pairs exactly."""
+    return f"""
+WITH {_sql_banded_cand_ctes(dim, n_bands, n_planes)}
 SELECT c.id_a, c.id_b,
   round({_D_COS.format(a='ea.v', b='eb.v')}, 4) AS cos_sim
 FROM cand c
 JOIN ecorpus ea ON ea.vec_id = c.id_a
 JOIN ecorpus eb ON eb.vec_id = c.id_b
 WHERE round({_D_COS.format(a='ea.v', b='eb.v')}, 4) >= 0.9
+"""
+
+
+def q_vec_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence EMBEDDING dedup (batch twin of the streaming
+    vector admission guard, streaming/vecdedup.VecDedupGuard): keep a
+    vector iff no banded-SRP candidate among strictly-earlier vectors
+    (vec_id order) verifies at cosine ≥ 0.9 — i.e. corpus ANTI JOIN
+    cosine_near_dup_pairs.id_b.  Same transitive-drop semantics as
+    dedup_keep_first, over vectors."""
+    corpus = _dup_embeddings_spark(spark, sf_dir)
+    pairs = similarity.cosine_near_dup_pairs(corpus, dim=64, threshold=0.9)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, v: acc + v * v
+            )
+        ),
+        4,
+    )
+    return corpus.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", norm.alias("norm")
+    )
+
+
+def _sql_vec_dedup_keep_first(
+    dim: int = 64, n_bands: int = 32, n_planes: int = 12
+) -> str:
+    return f"""
+WITH {_sql_banded_cand_ctes(dim, n_bands, n_planes)},
+dropped AS (
+  SELECT DISTINCT c.id_b AS vec_id
+  FROM cand c
+  JOIN ecorpus ea ON ea.vec_id = c.id_a
+  JOIN ecorpus eb ON eb.vec_id = c.id_b
+  WHERE round({_D_COS.format(a='ea.v', b='eb.v')}, 4) >= 0.9)
+SELECT e.vec_id, round(sqrt(list_dot_product(e.v, e.v)), 4) AS norm
+FROM ecorpus e ANTI JOIN dropped d ON e.vec_id = d.vec_id
 """
 
 
@@ -2168,6 +2211,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("ivf_probe_ann", q_ivf_probe_ann, _SQL_IVF_PROBE_ANN),
     ("frame_sample", q_frame_sample, _SQL_FRAME_SAMPLE),
     ("cosine_near_dup", q_cosine_near_dup, _sql_cosine_near_dup()),
+    ("vec_dedup_keep_first", q_vec_dedup_keep_first, _sql_vec_dedup_keep_first()),
     ("simhash_docs", q_simhash_docs, _SQL_SIMHASH),
     ("simhash_near_dups", q_simhash_near_dups, _SQL_SIMHASH_NEAR_DUPS),
     ("doc_fingerprints", q_doc_fingerprints, _SQL_DOC_FINGERPRINTS),

@@ -1711,3 +1711,68 @@ def test_optional_quantifier_pattern_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {("c1", 0): (2, 3), ("c2", 0): (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# streaming embedding near-dup admission (streaming/vecdedup.py)
+
+
+def test_vec_dedup_stream_matches_batch(spark, tmp_path):
+    """Streamed vector admission (banded-SRP probe + exact cosine vs
+    all earlier vectors) == the batch anti-join twin
+    (vec_dedup_keep_first's definition), across a restart."""
+    from arion_spark.functions.similarity import cosine_near_dup_pairs
+    from arion_spark.streaming.vecdedup import (
+        VEC_SCHEMA,
+        run_vec_dedup_stream,
+        write_vec_chunks,
+    )
+    from pyspark.sql import functions as F
+
+    dim, bands, planes, thr = 16, 8, 8, 0.9
+    # 30 base vectors + tail-zeroed near-dup copies of every other one
+    rows = []
+    for i in range(30):
+        v = [float(((i * 37 + j * 11) % 19) - 9) for j in range(dim)]
+        rows.append((i, v))
+        if i % 2 == 0:
+            rows.append((1000 + i, v[: dim - 3] + [0.0, 0.0, 0.0]))
+    corpus = spark.createDataFrame(rows, VEC_SCHEMA)
+
+    replay = str(tmp_path / "replay")
+    chunks = write_vec_chunks(corpus, replay, n_chunks=4)
+    staged = str(tmp_path / "staged")
+    _stage_chunks(chunks, staged, 0, 2)
+    kw = dict(dim=dim, threshold=thr, n_bands=bands, n_planes=planes)
+    q, g = run_vec_dedup_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt"), **kw
+    )
+    q.processAllAvailable()
+    q.stop()
+    _stage_chunks(chunks, staged, 2, 4)
+    q, g = run_vec_dedup_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt"), **kw
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["vec_id"] for r in g.read_kept(spark).collect()}
+    pairs = cosine_near_dup_pairs(
+        corpus, dim=dim, threshold=thr, n_bands=bands, n_planes=planes
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    want = {
+        r["vec_id"]
+        for r in corpus.join(dropped, "vec_id", "left_anti").collect()
+    }
+    assert got == want
+    assert 0 < len(got) < corpus.count()  # real drops happened
+    # the lattice generator correlates across i (period 19 plus window
+    # overlaps), so exact membership is defined by the twin equality
+    # above; structurally: the first arrival is always admitted and at
+    # least one planted tail-zero copy was dropped
+    assert 0 in got
+    assert any(1000 + i not in got for i in range(0, 30, 2))
+    lin = g.lineage()
+    assert sum(r["n_in"] for r in lin) == corpus.count()
+    assert sum(r["n_kept"] for r in lin) == len(got)
