@@ -1,0 +1,168 @@
+"""Shared commit-log discipline for batch-versioned foreachBatch sinks.
+
+Every sink in this engine (MergeSink, SketchSink, the text and vector
+admission guards) follows the same exactly-once recipe:
+
+* per-batch data dirs written FIRST (overwrite → idempotent under task
+  retry and crash replay),
+* a marker ``_commits/<id>.json`` written AFTER the data via atomic
+  rename — the commit point readers trust,
+* committed batch ids are no-ops on replay,
+* optional compaction: fold committed batch dirs into per-table bases
+  behind a ``_compactions/<id>.json`` marker (readers switch at the
+  rename; a crash mid-compaction leaves the incremental view intact),
+  then vacuum folded dirs while KEEPING commit markers so replay
+  no-ops survive.
+
+This module is that recipe, once.  Sinks mix in :class:`CommitLog` and
+call :meth:`_fold_tables` / :meth:`_vacuum_tables` for maintenance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitLog:
+    """Mixin: marker paths, committed-id queries, lineage, and the
+    compaction fold/vacuum helpers.  Requires ``self.table_dir``."""
+
+    table_dir: str
+
+    def _init_commit_log(self, table_dir: str) -> None:
+        self.table_dir = table_dir
+        os.makedirs(f"{table_dir}/_commits", exist_ok=True)
+
+    # -- batch commits ------------------------------------------------------
+
+    def _commit_path(self, batch_id: int) -> str:
+        return f"{self.table_dir}/_commits/{batch_id:012d}.json"
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_path(batch_id))
+
+    def committed_ids(self) -> list[int]:
+        cdir = f"{self.table_dir}/_commits"
+        return sorted(
+            int(n[:-5]) for n in os.listdir(cdir) if n.endswith(".json")
+        )
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for bid in self.committed_ids():
+            with open(self._commit_path(bid)) as f:
+                out.append(json.load(f))
+        return out
+
+    def _write_marker(self, batch_id: int, marker: dict) -> None:
+        """The atomic commit point: marker lands only after all data."""
+        tmp = self._commit_path(batch_id) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, self._commit_path(batch_id))
+
+    # -- compaction ---------------------------------------------------------
+
+    def _compaction_marker(self, upto: int) -> str:
+        return f"{self.table_dir}/_compactions/{upto:012d}.json"
+
+    def latest_compaction(self) -> dict | None:
+        cdir = f"{self.table_dir}/_compactions"
+        if not os.path.isdir(cdir):
+            return None
+        names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
+        if not names:
+            return None
+        with open(f"{cdir}/{names[-1]}") as f:
+            return json.load(f)
+
+    def _write_compaction_marker(self, upto: int, marker: dict) -> dict:
+        os.makedirs(f"{self.table_dir}/_compactions", exist_ok=True)
+        tmp = self._compaction_marker(upto) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, self._compaction_marker(upto))  # readers switch here
+        return marker
+
+    def _read_table(
+        self, spark: SparkSession, sub: str, schema: str, ids: list[int]
+    ) -> DataFrame:
+        """Committed view of one batch-versioned table: compacted base
+        (if any) plus still-incremental batch dirs, payload columns
+        only.  Explicit schema — zero-row batches write empty dirs where
+        inference would fail."""
+        comp = self.latest_compaction()
+        legs = []
+        if comp is not None:
+            legs.append(
+                spark.read.schema(schema).parquet(
+                    f"{self.table_dir}/{sub}_base/upto={comp['upto']:012d}"
+                )
+            )
+            ids = [i for i in ids if i > comp["upto"]]
+        if ids:
+            legs.append(
+                spark.read.schema(schema + ", batch long")
+                .option("basePath", f"{self.table_dir}/{sub}")
+                .parquet(f"{self.table_dir}/{sub}")
+                .where(F.col("batch").isin(ids))
+                .drop("batch")
+            )
+        if not legs:
+            return spark.createDataFrame([], schema)
+        df = legs[0]
+        for leg in legs[1:]:
+            df = df.unionByName(leg)
+        return df
+
+    def _fold_tables(
+        self,
+        spark: SparkSession,
+        schemas: dict[str, str],
+        partition_cols: dict[str, list[str]] | None = None,
+    ) -> dict:
+        """Fold every committed batch (and any previous base) of each
+        table into a fresh base at the current high-watermark."""
+        ids = self.committed_ids()
+        if not ids:
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        upto = max(ids)
+        prev = self.latest_compaction()
+        if prev is not None and prev["upto"] == upto:
+            return prev
+        for sub, schema in schemas.items():
+            df = self._read_table(spark, sub, schema, ids)
+            w = df.write.mode("overwrite")
+            for pc in (partition_cols or {}).get(sub, []):
+                w = w.partitionBy(pc)
+            w.parquet(f"{self.table_dir}/{sub}_base/upto={upto:012d}")
+        return self._write_compaction_marker(upto, {"upto": upto})
+
+    def _vacuum_tables(self, subs: list[str]) -> int:
+        """Delete batch dirs folded into the latest bases and superseded
+        bases; commit markers are kept.  Returns dirs removed."""
+        comp = self.latest_compaction()
+        if comp is None:
+            return 0
+        upto = comp["upto"]
+        removed = 0
+        for sub in subs:
+            d = f"{self.table_dir}/{sub}"
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    if name.startswith("batch=") and int(name.split("=")[1]) <= upto:
+                        shutil.rmtree(f"{d}/{name}")
+                        removed += 1
+            base = f"{self.table_dir}/{sub}_base"
+            if os.path.isdir(base):
+                for name in os.listdir(base):
+                    if name.startswith("upto=") and int(name.split("=")[1]) < upto:
+                        shutil.rmtree(f"{base}/{name}")
+                        removed += 1
+        return removed

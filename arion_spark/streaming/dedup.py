@@ -54,9 +54,7 @@ corpus-level admission control the reference lacks (SURVEY.md §9.1).
 
 from __future__ import annotations
 
-import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +63,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from arion_spark.functions import dedup
 from arion_spark.functions import text as text_fns
+from arion_spark.streaming.commitlog import CommitLog
 
 DOC_SCHEMA = T.StructType(
     [
@@ -116,7 +115,7 @@ def read_doc_stream(
     )
 
 
-class DedupGuard:
+class DedupGuard(CommitLog):
     """foreachBatch sink implementing the admission control described in
     the module docstring.  No Spark-managed state — all state is the
     commit-logged index, so restart safety needs only the checkpoint's
@@ -152,63 +151,15 @@ class DedupGuard:
         self.threshold = threshold
         self.quality_gate = quality_gate
         self.exact_fast_path = exact_fast_path
-        os.makedirs(f"{table_dir}/_commits", exist_ok=True)
-
-    # -- commit log ---------------------------------------------------------
-
-    def _commit_path(self, batch_id: int) -> str:
-        return f"{self.table_dir}/_commits/{batch_id:012d}.json"
-
-    def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_path(batch_id))
-
-    def committed_ids(self) -> list[int]:
-        cdir = f"{self.table_dir}/_commits"
-        return sorted(
-            int(name[:-5])
-            for name in os.listdir(cdir)
-            if name.endswith(".json")
-        )
-
-    def lineage(self) -> list[dict]:
-        out = []
-        for bid in self.committed_ids():
-            with open(self._commit_path(bid)) as f:
-                out.append(json.load(f))
-        return out
-
-    # -- write path ---------------------------------------------------------
+        self._init_commit_log(table_dir)
 
     _SCHEMAS = {"docs": _DOCS_IDX, "buckets": _BUCKET_IDX, "kept": _KEPT}
 
     def _read_committed(self, spark: SparkSession, sub: str, ids: list[int]) -> DataFrame:
-        """Current committed view of one index table: compacted base (if
-        any) plus still-incremental batch dirs.  Returns payload columns
-        only (no ``batch``)."""
-        comp = self.latest_compaction()
-        schema = self._SCHEMAS[sub]
-        legs = []
-        if comp is not None:
-            legs.append(
-                spark.read.schema(schema).parquet(
-                    f"{self.table_dir}/{sub}_base/upto={comp['upto']:012d}"
-                )
-            )
-            ids = [i for i in ids if i > comp["upto"]]
-        if ids:
-            legs.append(
-                spark.read.schema(schema + _WITH_BATCH)
-                .option("basePath", f"{self.table_dir}/{sub}")
-                .parquet(f"{self.table_dir}/{sub}")
-                .where(F.col("batch").isin(ids))
-                .drop("batch")
-            )
-        if not legs:
-            return spark.createDataFrame([], schema)
-        df = legs[0]
-        for leg in legs[1:]:
-            df = df.unionByName(leg)
-        return df
+        """Current committed view of one index table (see
+        CommitLog._read_table): compacted base plus incremental batch
+        dirs, payload columns only, explicit schemas throughout."""
+        return self._read_table(spark, sub, self._SCHEMAS[sub], ids)
 
     # -- index compaction -----------------------------------------------------
     #
@@ -224,65 +175,11 @@ class DedupGuard:
     # marker via atomic rename, readers switch at the marker, commit
     # markers survive vacuum so replayed ids stay no-ops.
 
-    def _compaction_marker(self, upto: int) -> str:
-        return f"{self.table_dir}/_compactions/{upto:012d}.json"
-
-    def latest_compaction(self) -> dict | None:
-        cdir = f"{self.table_dir}/_compactions"
-        if not os.path.isdir(cdir):
-            return None
-        names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
-        if not names:
-            return None
-        with open(f"{cdir}/{names[-1]}") as f:
-            return json.load(f)
-
     def compact(self, spark: SparkSession) -> dict:
-        ids = self.committed_ids()
-        if not ids:
-            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
-        upto = max(ids)
-        prev = self.latest_compaction()
-        if prev is not None and prev["upto"] == upto:
-            return prev
-        for sub in ("docs", "buckets", "kept"):
-            df = self._read_committed(spark, sub, ids)
-            w = df.write.mode("overwrite")
-            if sub == "buckets":
-                w = w.partitionBy("bp")
-            w.parquet(f"{self.table_dir}/{sub}_base/upto={upto:012d}")
-        os.makedirs(f"{self.table_dir}/_compactions", exist_ok=True)
-        marker = {"upto": upto}
-        tmp = self._compaction_marker(upto) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, self._compaction_marker(upto))  # readers switch here
-        return marker
+        return self._fold_tables(spark, self._SCHEMAS, {"buckets": ["bp"]})
 
     def vacuum(self) -> int:
-        """Delete batch dirs folded into the latest bases (and superseded
-        bases); commit markers are kept.  Returns dirs removed."""
-        import shutil
-
-        comp = self.latest_compaction()
-        if comp is None:
-            return 0
-        upto = comp["upto"]
-        removed = 0
-        for sub in ("docs", "buckets", "kept"):
-            d = f"{self.table_dir}/{sub}"
-            if os.path.isdir(d):
-                for name in os.listdir(d):
-                    if name.startswith("batch=") and int(name.split("=")[1]) <= upto:
-                        shutil.rmtree(f"{d}/{name}")
-                        removed += 1
-            base = f"{self.table_dir}/{sub}_base"
-            if os.path.isdir(base):
-                for name in os.listdir(base):
-                    if name.startswith("upto=") and int(name.split("=")[1]) < upto:
-                        shutil.rmtree(f"{base}/{name}")
-                        removed += 1
-        return removed
+        return self._vacuum_tables(list(self._SCHEMAS))
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
@@ -411,10 +308,7 @@ class DedupGuard:
             "n_kept": n_kept,
             "n_dropped": n_in - n_kept,
         }
-        tmp = self._commit_path(batch_id) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, self._commit_path(batch_id))  # atomic commit point
+        self._write_marker(batch_id, marker)  # atomic commit point
 
     def foreach_batch(self):
         return lambda df, bid: self.process(df, bid)

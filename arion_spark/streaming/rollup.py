@@ -34,9 +34,7 @@ assert merged results equal the uninterrupted run AND the batch twin.
 
 from __future__ import annotations
 
-import json
 import os
-import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +43,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from arion_spark.functions import sketch
 from arion_spark.operators import rollup as op_rollup
+from arion_spark.streaming.commitlog import CommitLog
 from arion_spark.streaming.sink import MergeSink
 from arion_spark.streaming.source import read_replay_stream
 
@@ -111,7 +110,7 @@ def run_rollup_stream(
 # incremental mergeable-sketch sink
 
 
-class SketchSink:
+class SketchSink(CommitLog):
     """foreachBatch sink holding a bounded mergeable summary.
 
     ``partial_fn(batch_df) -> DataFrame`` computes the batch's partial
@@ -127,22 +126,9 @@ class SketchSink:
         partial_fn: Callable[[DataFrame], DataFrame],
         merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
     ):
-        self.table_dir = table_dir
         self.partial_fn = partial_fn
         self.merge_fn = merge_fn
-        os.makedirs(f"{table_dir}/_commits", exist_ok=True)
-
-    def _commit_path(self, batch_id: int) -> str:
-        return f"{self.table_dir}/_commits/{batch_id:012d}.json"
-
-    def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_path(batch_id))
-
-    def committed_ids(self) -> list[int]:
-        cdir = f"{self.table_dir}/_commits"
-        return sorted(
-            int(n[:-5]) for n in os.listdir(cdir) if n.endswith(".json")
-        )
+        self._init_commit_log(table_dir)
 
     def read_state(self, spark: SparkSession) -> DataFrame | None:
         """The latest committed merged sketch (None before first commit)."""
@@ -161,10 +147,7 @@ class SketchSink:
         merged = partial if prev is None else self.merge_fn(prev, partial)
         state_dir = f"{self.table_dir}/state/batch={batch_id:012d}"
         merged.write.mode("overwrite").parquet(state_dir)
-        tmp = self._commit_path(batch_id) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "state_dir": state_dir}, f)
-        os.replace(tmp, self._commit_path(batch_id))
+        self._write_marker(batch_id, {"batch_id": batch_id, "state_dir": state_dir})
 
     def foreach_batch(self):
         return lambda df, bid: self.process(df, bid)

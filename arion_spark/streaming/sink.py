@@ -24,18 +24,18 @@ THEN INSERT ...")`` — the checkpoint/commit-log discipline is identical.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from arion_spark.streaming.commitlog import CommitLog
+
 KEYS = ("conv_id", "turn_idx")
 
 
-class MergeSink:
+class MergeSink(CommitLog):
     """``stats`` controls per-batch lineage depth: ``"full"`` (default)
     records row count, event-time range and key count from one agg pass
     over the written files; ``"minimal"`` records only batch id, file
@@ -46,18 +46,11 @@ class MergeSink:
     def __init__(
         self, table_dir: str, keys: tuple[str, ...] = KEYS, stats: str = "full"
     ):
-        self.table_dir = table_dir
         self.keys = keys
         self.stats = stats
-        os.makedirs(f"{table_dir}/_commits", exist_ok=True)
+        self._init_commit_log(table_dir)
 
     # -- write path -----------------------------------------------------------
-
-    def _commit_path(self, batch_id: int) -> str:
-        return f"{self.table_dir}/_commits/{batch_id:012d}.json"
-
-    def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_path(batch_id))
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body.  Idempotent: committed batch ids are no-ops.
@@ -96,10 +89,7 @@ class MergeSink:
         else:
             # metadata-only count (parquet footers, no data scan)
             marker["rows"] = written.count()
-        tmp = self._commit_path(batch_id) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, self._commit_path(batch_id))  # atomic commit point
+        self._write_marker(batch_id, marker)  # atomic commit point
 
     def foreach_batch(self):
         return lambda df, bid: self.process(df, bid)
@@ -107,13 +97,7 @@ class MergeSink:
     # -- read path (MERGE view) ----------------------------------------------
 
     def committed_batches(self) -> list[dict]:
-        out = []
-        cdir = f"{self.table_dir}/_commits"
-        for name in sorted(os.listdir(cdir)):
-            if name.endswith(".json"):
-                with open(f"{cdir}/{name}") as f:
-                    out.append(json.load(f))
-        return out
+        return self.lineage()
 
     def read_merged(self, spark: SparkSession) -> DataFrame:
         """Committed-only, key-deduped view (upsert: latest batch wins).
@@ -251,19 +235,6 @@ class MergeSink:
     def _compacted_dir(self, upto: int) -> str:
         return f"{self.table_dir}/compacted/upto={upto:012d}"
 
-    def _compaction_marker(self, upto: int) -> str:
-        return f"{self.table_dir}/_compactions/{upto:012d}.json"
-
-    def latest_compaction(self) -> dict | None:
-        cdir = f"{self.table_dir}/_compactions"
-        if not os.path.isdir(cdir):
-            return None
-        names = sorted(n for n in os.listdir(cdir) if n.endswith(".json"))
-        if not names:
-            return None
-        with open(f"{cdir}/{names[-1]}") as f:
-            return json.load(f)
-
     def compact(
         self, spark: SparkSession, partition_exprs: dict[str, Column] | None = None
     ) -> dict:
@@ -288,13 +259,9 @@ class MergeSink:
         merged.write.mode("overwrite").partitionBy(*pcols).parquet(
             self._compacted_dir(upto)
         )
-        os.makedirs(f"{self.table_dir}/_compactions", exist_ok=True)
-        marker = {"upto": upto, "partition_cols": pcols}
-        tmp = self._compaction_marker(upto) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, self._compaction_marker(upto))  # readers switch here
-        return marker
+        return self._write_compaction_marker(
+            upto, {"upto": upto, "partition_cols": pcols}
+        )
 
     def vacuum(self) -> int:
         """Delete batch dirs folded into the latest base (and superseded
@@ -327,6 +294,3 @@ class MergeSink:
             raise FileNotFoundError(f"no compaction in {self.table_dir}")
         return spark.read.parquet(self._compacted_dir(comp["upto"]))
 
-    def lineage(self) -> list[dict]:
-        """Per-batch lineage records (counts, event-time range, partitions)."""
-        return self.committed_batches()

@@ -30,9 +30,7 @@ is structural even for missed pairs.
 
 from __future__ import annotations
 
-import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from arion_spark.functions.similarity import banded_srp_buckets_udf, cosine
+from arion_spark.streaming.commitlog import CommitLog
 
 VEC_SCHEMA = T.StructType(
     [
@@ -72,7 +71,7 @@ def write_vec_chunks(df: DataFrame, out_dir: str, n_chunks: int = 4) -> list[str
     return paths
 
 
-class VecDedupGuard:
+class VecDedupGuard(CommitLog):
     def __init__(
         self,
         table_dir: str,
@@ -87,38 +86,21 @@ class VecDedupGuard:
         self.n_bands = n_bands
         self.n_planes = n_planes
         self._bucketer = banded_srp_buckets_udf(dim, n_bands, n_planes)
-        os.makedirs(f"{table_dir}/_commits", exist_ok=True)
-
-    # -- commit log ---------------------------------------------------------
-
-    def _commit_path(self, batch_id: int) -> str:
-        return f"{self.table_dir}/_commits/{batch_id:012d}.json"
-
-    def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_path(batch_id))
-
-    def committed_ids(self) -> list[int]:
-        cdir = f"{self.table_dir}/_commits"
-        return sorted(
-            int(n[:-5]) for n in os.listdir(cdir) if n.endswith(".json")
-        )
-
-    def lineage(self) -> list[dict]:
-        out = []
-        for bid in self.committed_ids():
-            with open(self._commit_path(bid)) as f:
-                out.append(json.load(f))
-        return out
+        self._init_commit_log(table_dir)
 
     _SCHEMAS = {"vecs": _VECS, "buckets": _BUCKETS, "kept": _VECS}
 
     def _read_committed(self, spark: SparkSession, sub: str, ids: list[int]) -> DataFrame:
-        df = (
-            spark.read.schema(self._SCHEMAS[sub] + _WITH_BATCH)
-            .option("basePath", f"{self.table_dir}/{sub}")
-            .parquet(f"{self.table_dir}/{sub}")
-        )
-        return df.where(F.col("batch").isin(ids)).drop("batch")
+        return self._read_table(spark, sub, self._SCHEMAS[sub], ids)
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold the per-batch index dirs into bases (same maintenance
+        contract as DedupGuard.compact — the probe re-reads the index
+        every batch, so the small-file tax compounds)."""
+        return self._fold_tables(spark, self._SCHEMAS)
+
+    def vacuum(self) -> int:
+        return self._vacuum_tables(list(self._SCHEMAS))
 
     # -- write path ---------------------------------------------------------
 
@@ -199,10 +181,7 @@ class VecDedupGuard:
             "n_kept": n_kept,
             "n_dropped": n_in - n_kept,
         }
-        tmp = self._commit_path(batch_id) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, self._commit_path(batch_id))
+        self._write_marker(batch_id, marker)
 
     def foreach_batch(self):
         return lambda df, bid: self.process(df, bid)
