@@ -67,6 +67,33 @@ class CommitLog:
             json.dump(marker, f)
         os.replace(tmp, self._commit_path(batch_id))
 
+    # -- bootstrap → streaming handoff --------------------------------------
+
+    def stream_offset(self) -> int:
+        """Stable batch-id offset for a streaming query attached AFTER
+        batches were committed out-of-band (a bootstrap ingest of the
+        existing corpus, the standard migration path).
+
+        Spark numbers ``foreachBatch`` ids from 0 per checkpoint:
+        without an offset, a fresh stream's batch 0 collides with
+        bootstrap batch 0 and is silently skipped as already committed
+        — data loss.  The offset is fixed at the FIRST stream start
+        (max committed id + 1, or 0 on an empty log) and persisted next
+        to the log, so checkpoint restarts map replayed Spark ids to
+        the same table ids — recomputing it per start would shift ids
+        and break replay no-ops."""
+        path = f"{self.table_dir}/_stream_offset.json"
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)["offset"]
+        ids = self.committed_ids()
+        off = (max(ids) + 1) if ids else 0
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"offset": off}, f)
+        os.replace(tmp, path)
+        return off
+
     # -- compaction ---------------------------------------------------------
 
     def _compaction_marker(self, upto: int) -> str:

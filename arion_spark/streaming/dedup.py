@@ -338,10 +338,13 @@ def run_dedup_stream(
         quality_gate=quality_gate,
         exact_fast_path=exact_fast_path,
     )
+    # stable id offset: lets the stream attach AFTER a bootstrap ingest
+    # (guard.process over the existing corpus) without id collisions
+    off = guard.stream_offset()
     stream = read_doc_stream(spark, replay_dir, max_files_per_trigger)
     query = (
         stream.writeStream.outputMode("append")
-        .foreachBatch(guard.foreach_batch())
+        .foreachBatch(lambda df, bid: guard.process(df, bid + off))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -207,6 +207,7 @@ def run_vec_dedup_stream(
     max_files_per_trigger: int = 1,
 ) -> tuple[StreamingQuery, VecDedupGuard]:
     guard = VecDedupGuard(out_dir, dim, threshold, n_bands, n_planes)
+    off = guard.stream_offset()  # bootstrap → streaming handoff
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -215,7 +216,7 @@ def run_vec_dedup_stream(
     )
     query = (
         stream.writeStream.outputMode("append")
-        .foreachBatch(guard.foreach_batch())
+        .foreachBatch(lambda df, bid: guard.process(df, bid + off))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

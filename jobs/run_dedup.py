@@ -69,8 +69,10 @@ def main(argv: list[str] | None = None) -> int:
         exact_fast_path=args.full_admission,
     )
 
+    off = guard.stream_offset()  # safe to attach after a bootstrap ingest
+
     def handle(batch_df, batch_id):
-        guard.process(batch_df, batch_id)
+        guard.process(batch_df, batch_id + off)
         if args.compact_every and (batch_id + 1) % args.compact_every == 0:
             guard.compact(spark)
             guard.vacuum()

@@ -1776,3 +1776,44 @@ def test_vec_dedup_stream_matches_batch(spark, tmp_path):
     lin = g.lineage()
     assert sum(r["n_in"] for r in lin) == corpus.count()
     assert sum(r["n_kept"] for r in lin) == len(got)
+
+
+def test_dedup_guard_bootstrap_then_stream(spark, tmp_path):
+    """The migration path: bootstrap the guard from the existing corpus
+    (direct process), THEN attach a stream of new documents.  Spark's
+    per-checkpoint batch ids restart at 0 — the persisted stream offset
+    maps them past the bootstrap ids, so chunk 0 is not silently
+    swallowed as 'already committed'.  Final kept set equals batch
+    keep-first over bootstrap ∪ streamed, across a stream restart."""
+    from arion_spark.streaming.dedup import (
+        DedupGuard,
+        run_dedup_stream,
+        write_doc_chunks,
+    )
+
+    corpus = _doc_corpus(spark)
+    boot = corpus.where("doc_id < 20")        # existing corpus
+    inc = corpus.where("doc_id >= 20")        # arrives later as a stream
+
+    out = str(tmp_path / "out")
+    g = DedupGuard(out)
+    g.process(boot, 0)                         # bootstrap ingest
+
+    replay = str(tmp_path / "replay")
+    chunks = write_doc_chunks(inc, replay, n_chunks=2)
+    staged = str(tmp_path / "staged")
+    _stage_chunks(chunks, staged, 0, 1)
+    q, g = run_dedup_stream(spark, staged, out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    _stage_chunks(chunks, staged, 1, 2)        # restart with more data
+    q, g = run_dedup_stream(spark, staged, out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"] for r in g.read_kept(spark).collect()}
+    want = _batch_keep_first(corpus)
+    assert got == want
+    # bootstrap batch 0 + two stream batches mapped to ids 1 and 2
+    assert [r["batch_id"] for r in g.lineage()] == [0, 1, 2]
+    assert sum(r["n_in"] for r in g.lineage()) == corpus.count()
