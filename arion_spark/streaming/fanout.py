@@ -109,7 +109,7 @@ class AnalyticsFanout:
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         self.chain.process(batch_df, batch_id)  # upstream executes here
         spark = batch_df.sparkSession
-        written = spark.read.parquet(
+        written = spark.read.schema(batch_df.schema).parquet(
             f"{self.chain.table_dir}/data/batch={batch_id:012d}"
         )
         for s in self._summaries:

@@ -74,7 +74,9 @@ class MergeSink(CommitLog):
             "n_partitions": n_files,
             "data_dir": data_dir,
         }
-        written = spark.read.parquet(data_dir)
+        # explicit schema: a zero-row batch can write a dir with no
+        # part files, where schema inference would fail the stream
+        written = spark.read.schema(batch_df.schema).parquet(data_dir)
         if self.stats == "full":
             st = written.agg(
                 F.count("*").alias("rows"),

@@ -1817,3 +1817,20 @@ def test_dedup_guard_bootstrap_then_stream(spark, tmp_path):
     # bootstrap batch 0 + two stream batches mapped to ids 1 and 2
     assert [r["batch_id"] for r in g.lineage()] == [0, 1, 2]
     assert sum(r["n_in"] for r in g.lineage()) == corpus.count()
+
+
+def test_sink_empty_batch_commits_cleanly(spark, tmp_path):
+    """A zero-row micro-batch (stateful op buffered everything) must
+    commit without schema-inference failures and stay invisible to the
+    merged view."""
+    sink = MergeSink(str(tmp_path / "tble"), stats="minimal")
+    sink.process(
+        spark.createDataFrame([_row("c1", 0, 0)], TRANSCRIPT_SCHEMA), 0
+    )
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    sink.process(empty, 1)          # minimal stats path
+    full = MergeSink(str(tmp_path / "tblf"), stats="full")
+    full.process(empty, 0)          # full stats path (agg over 0 rows)
+    assert sink.is_committed(1) and full.is_committed(0)
+    assert sink.read_merged(spark).count() == 1
+    assert sink.lineage()[1]["rows"] == 0
