@@ -2137,7 +2137,10 @@ def q_event_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ntile quartiles and percent_rank over the user population.
     Every ordering carries a unique tie-break (event_id / user_id) so
     ntile's row assignment and percent_rank are deterministic across
-    engines."""
+    engines.  The population window is global by definition (one row
+    per user after the aggregate — 10^6-10^8 rows at corpus scale, a
+    single-task sort of a narrow 4-column frame); partition it by
+    cohort/day when ranking within cohorts is the product question."""
     e = _events(spark, sf_dir)
     seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ep = F.col("ts").cast("timestamp").cast("double")
