@@ -47,52 +47,27 @@ def keywords_col(text: Column) -> Column:
 
 
 def named_scalar(text: Column, name: str) -> Column:
-    """First ``[name: value]`` marker value, NULL when absent."""
+    """First ``[name: value]`` marker value, NULL when absent.
+
+    Deliberately one regexp_extract per field: a staged single-pass
+    variant (one ``regexp_extract_all`` of all markers into
+    array<struct<k,v>>, then per-field array filters) was built and
+    MEASURED 12× SLOWER (2026-08-17, tools/bench_readmeta.py: 17.1 s vs
+    1.4 s at 2M rows × 8 fields) — higher-order array lambdas
+    (transform/filter) are interpreted per element, while per-field
+    Java regex stays inside whole-stage codegen.  Java regex is not the
+    bottleneck here; interpreted lambdas are."""
     return F.nullif(
         F.trim(F.regexp_extract(text, MF.marker_pattern(name), 1)), F.lit("")
     )
 
 
 def named_array(text: Column, name: str) -> Column:
-    """All ``[name: value]`` marker values in order (repeatable field)."""
+    """All ``[name: value]`` marker values in order (repeatable field).
+    Per-field regex on purpose — see ``named_scalar``."""
     return F.transform(
         F.regexp_extract_all(text, F.lit(MF.marker_pattern(name)), F.lit(1)),
         lambda v: F.trim(v),
-    )
-
-
-def _marker_entries(text: Column) -> Column:
-    """ONE regex pass over ``text`` → array<struct<k, v>> of all
-    ``[key: value]`` markers; per-field extraction then becomes cheap
-    array filters over this staged column.  Replaces 8 independent
-    regexp passes per row (measured ~1.9× on the extraction stage —
-    Java regex dominates; the array ops are codegen'd)."""
-    ms = F.regexp_extract_all(text, F.lit(r"\[(\w+:[^\]]*)\]"), F.lit(1))
-    return F.transform(
-        ms,
-        lambda m: F.struct(
-            F.substring_index(m, ":", 1).alias("k"),
-            F.trim(F.substr(m, F.locate(":", m) + 1, F.length(m))).alias("v"),
-        ),
-    )
-
-
-def _entry_scalar(entries: Column, name: str) -> Column:
-    return F.nullif(
-        F.coalesce(
-            F.element_at(
-                F.filter(entries, lambda e: e.getField("k") == name), 1
-            ).getField("v"),
-            F.lit(""),
-        ),
-        F.lit(""),
-    )
-
-
-def _entry_array(entries: Column, name: str) -> Column:
-    return F.transform(
-        F.filter(entries, lambda e: e.getField("k") == name),
-        lambda e: e.getField("v"),
     )
 
 

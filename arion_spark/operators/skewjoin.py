@@ -62,6 +62,17 @@ def salted_join(
     correct, but the replicated dim shuffle dominates unless the dim is
     tiny (tools/bench_skew.py measures both regimes).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        # right/full outer would emit `buckets` null-extended rows for an
+        # unmatched hot dim key (the dim side is replicated), silently
+        # breaking the row-identical-to-plain-join contract
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only ({sorted(allowed)}); "
+            f"got how={how!r} — the replicated dim side makes right/full "
+            "outer emit one row per salt bucket for unmatched dim keys"
+        )
     salt_expr = F.pmod(
         F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(buckets)
     ).cast("int")

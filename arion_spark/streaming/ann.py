@@ -89,7 +89,17 @@ def ann_serve_batch(
         F.col("embedding").alias("qv"),
         bucket_col.alias("bucket"),
     )
-    probed = [r["bucket"] for r in qb.select("bucket").distinct().collect()]
+    # materialize the query batch ONCE: the rows are needed twice (the
+    # driver-side probed-bucket list AND the scored join), and an
+    # uncached foreachBatch DataFrame re-runs its upstream plan on every
+    # action (the 3× regression MergeSink.process documents).  The batch
+    # is small by contract (it gets broadcast), so collect+recreate is
+    # the cheapest single-execution form.
+    q_rows = qb.collect()
+    probed = sorted({r["bucket"] for r in q_rows})
+    qb = spark.createDataFrame(
+        q_rows, schema="query_id long, qv array<double>, bucket int"
+    )
     idx = (
         spark.read.schema("neighbor_id long, cv array<double>, bucket int")
         .option("basePath", index_dir)

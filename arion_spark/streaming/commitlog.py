@@ -69,7 +69,7 @@ class CommitLog:
 
     # -- bootstrap → streaming handoff --------------------------------------
 
-    def stream_offset(self) -> int:
+    def stream_offset(self, checkpoint_dir: str | None = None) -> int:
         """Stable batch-id offset for a streaming query attached AFTER
         batches were committed out-of-band (a bootstrap ingest of the
         existing corpus, the standard migration path).
@@ -81,18 +81,92 @@ class CommitLog:
         (max committed id + 1, or 0 on an empty log) and persisted next
         to the log, so checkpoint restarts map replayed Spark ids to
         the same table ids — recomputing it per start would shift ids
-        and break replay no-ops."""
+        and break replay no-ops.
+
+        ``checkpoint_dir`` binds the offset to one Spark checkpoint via
+        a shared epoch id (``_arion_stream_epoch.json`` written into the
+        checkpoint dir at first start): replay protection depends on the
+        checkpoint and the offset file describing the SAME stream, so a
+        deleted/recreated checkpoint (replayed source data would map to
+        fresh batch ids → double-processing) or a lost offset file
+        (fresh ids would collide with committed ones → data loss) is
+        refused at start instead of corrupting silently.  Without
+        ``checkpoint_dir`` the caller owns the contract: checkpoint and
+        ``_stream_offset.json`` must be wiped or kept together."""
         path = f"{self.table_dir}/_stream_offset.json"
+        off_doc = None
         if os.path.exists(path):
             with open(path) as f:
-                return json.load(f)["offset"]
+                off_doc = json.load(f)
+        if checkpoint_dir is None:
+            if off_doc is not None:
+                return off_doc["offset"]
+            return self._write_stream_offset(path, None)
+
+        epoch_path = f"{checkpoint_dir}/_arion_stream_epoch.json"
+        ck_epoch = None
+        if os.path.exists(epoch_path):
+            with open(epoch_path) as f:
+                ck_epoch = json.load(f)["epoch"]
+        if off_doc is not None:
+            known = off_doc.get("epoch")
+            if known is None:
+                # legacy offset file (pre-epoch): adopt this checkpoint
+                if ck_epoch is None:
+                    ck_epoch = uuid.uuid4().hex
+                    self._write_epoch(epoch_path, ck_epoch)
+                off_doc["epoch"] = ck_epoch
+                tmp = path + f".tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump(off_doc, f)
+                os.replace(tmp, path)
+                return off_doc["offset"]
+            if ck_epoch is None:
+                raise RuntimeError(
+                    f"checkpoint {checkpoint_dir} carries no stream epoch but "
+                    f"{path} is bound to epoch {known}: the checkpoint was "
+                    "deleted or recreated, so replayed source data would be "
+                    "re-processed under fresh batch ids. Wipe "
+                    "_stream_offset.json together with the checkpoint (and "
+                    "accept re-ingest), or restore the original checkpoint."
+                )
+            if ck_epoch != known:
+                raise RuntimeError(
+                    f"stream epoch mismatch: checkpoint {checkpoint_dir} has "
+                    f"{ck_epoch}, {path} expects {known} — offset file and "
+                    "checkpoint belong to different streams."
+                )
+            return off_doc["offset"]
+        if ck_epoch is not None:
+            raise RuntimeError(
+                f"{path} is missing but checkpoint {checkpoint_dir} already "
+                f"has stream epoch {ck_epoch}: the offset file was lost, and "
+                "restarting would renumber batches over committed ids. "
+                "Restore _stream_offset.json or wipe the checkpoint with it."
+            )
+        epoch = uuid.uuid4().hex
+        self._write_epoch(epoch_path, epoch)
+        return self._write_stream_offset(path, epoch)
+
+    def _write_stream_offset(self, path: str, epoch: str | None) -> int:
         ids = self.committed_ids()
         off = (max(ids) + 1) if ids else 0
+        doc = {"offset": off}
+        if epoch is not None:
+            doc["epoch"] = epoch
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"offset": off}, f)
+            json.dump(doc, f)
         os.replace(tmp, path)
         return off
+
+    @staticmethod
+    def _write_epoch(epoch_path: str, epoch: str) -> None:
+        os.makedirs(os.path.dirname(epoch_path), exist_ok=True)
+        tmp = epoch_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch}, f)
+        os.replace(tmp, epoch_path)
 
     # -- compaction ---------------------------------------------------------
 

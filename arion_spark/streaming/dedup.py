@@ -339,8 +339,9 @@ def run_dedup_stream(
         exact_fast_path=exact_fast_path,
     )
     # stable id offset: lets the stream attach AFTER a bootstrap ingest
-    # (guard.process over the existing corpus) without id collisions
-    off = guard.stream_offset()
+    # (guard.process over the existing corpus) without id collisions;
+    # epoch-bound to the checkpoint (mismatch = refuse to start)
+    off = guard.stream_offset(checkpoint_dir)
     stream = read_doc_stream(spark, replay_dir, max_files_per_trigger)
     query = (
         stream.writeStream.outputMode("append")

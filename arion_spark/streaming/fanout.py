@@ -108,6 +108,12 @@ class AnalyticsFanout:
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         self.chain.process(batch_df, batch_id)  # upstream executes here
+        if all(s.is_committed(batch_id) for s in self._summaries):
+            # fully-committed replay: don't touch the batch dir at all —
+            # compact()+vacuum() may have removed it, and an eager read
+            # would wedge the stream with PATH_NOT_FOUND instead of
+            # no-oping
+            return
         spark = batch_df.sparkSession
         written = spark.read.schema(batch_df.schema).parquet(
             f"{self.chain.table_dir}/data/batch={batch_id:012d}"

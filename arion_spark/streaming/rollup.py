@@ -34,6 +34,7 @@ assert merged results equal the uninterrupted run AND the batch twin.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable
 
@@ -131,13 +132,23 @@ class SketchSink(CommitLog):
         self._init_commit_log(table_dir)
 
     def read_state(self, spark: SparkSession) -> DataFrame | None:
-        """The latest committed merged sketch (None before first commit)."""
+        """The latest committed merged sketch (None before first commit).
+
+        Schema comes from the commit marker, not inference: a zero-row
+        micro-batch can commit a state dir with no part files, and one
+        such dir would otherwise poison every later read/merge (markers
+        from before schemas were persisted fall back to inference)."""
         ids = self.committed_ids()
         if not ids:
             return None
-        return spark.read.parquet(
-            f"{self.table_dir}/state/batch={ids[-1]:012d}"
-        )
+        with open(self._commit_path(ids[-1])) as f:
+            marker = json.load(f)
+        rdr = spark.read
+        if "schema" in marker:
+            from pyspark.sql import types as T
+
+            rdr = rdr.schema(T.StructType.fromJson(json.loads(marker["schema"])))
+        return rdr.parquet(f"{self.table_dir}/state/batch={ids[-1]:012d}")
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
@@ -147,7 +158,14 @@ class SketchSink(CommitLog):
         merged = partial if prev is None else self.merge_fn(prev, partial)
         state_dir = f"{self.table_dir}/state/batch={batch_id:012d}"
         merged.write.mode("overwrite").parquet(state_dir)
-        self._write_marker(batch_id, {"batch_id": batch_id, "state_dir": state_dir})
+        self._write_marker(
+            batch_id,
+            {
+                "batch_id": batch_id,
+                "state_dir": state_dir,
+                "schema": merged.schema.json(),
+            },
+        )
 
     def foreach_batch(self):
         return lambda df, bid: self.process(df, bid)

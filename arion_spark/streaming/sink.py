@@ -24,11 +24,13 @@ THEN INSERT ...")`` — the checkpoint/commit-log discipline is identical.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from arion_spark.streaming.commitlog import CommitLog
 
@@ -73,6 +75,11 @@ class MergeSink(CommitLog):
             "batch_id": batch_id,
             "n_partitions": n_files,
             "data_dir": data_dir,
+            # payload schema travels in the marker so every read path can
+            # state it explicitly — a committed ZERO-ROW batch dir has no
+            # part files, and schema inference over it would wedge the
+            # stream (the write-path hardening alone was not enough)
+            "schema": batch_df.schema.json(),
         }
         # explicit schema: a zero-row batch can write a dir with no
         # part files, where schema inference would fail the stream
@@ -101,6 +108,24 @@ class MergeSink(CommitLog):
     def committed_batches(self) -> list[dict]:
         return self.lineage()
 
+    @staticmethod
+    def _marker_schema(marker: dict) -> T.StructType | None:
+        """Schema recorded in a commit/compaction marker (None for logs
+        written before schemas were persisted — those fall back to
+        inference, which is safe only while every dir has part files)."""
+        s = marker.get("schema")
+        return T.StructType.fromJson(json.loads(s)) if s else None
+
+    def _data_reader(self, spark: SparkSession, sch: T.StructType | None):
+        """Partitioned reader over ``data/`` with the payload schema (plus
+        the ``batch`` partition column) stated explicitly when known."""
+        rdr = spark.read.option("basePath", f"{self.table_dir}/data")
+        if sch is not None:
+            rdr = rdr.schema(
+                T.StructType(list(sch.fields) + [T.StructField("batch", T.LongType())])
+            )
+        return rdr
+
     def read_merged(self, spark: SparkSession) -> DataFrame:
         """Committed-only, key-deduped view (upsert: latest batch wins).
 
@@ -119,20 +144,23 @@ class MergeSink(CommitLog):
         if not commits:
             raise FileNotFoundError(f"no committed batches in {self.table_dir}")
         ids = [int(c["batch_id"]) for c in commits]
+        sch = self._marker_schema(commits[-1])
         comp = self.latest_compaction()
         legs = []
         if comp is not None:
             upto = comp["upto"]
-            base = spark.read.parquet(self._compacted_dir(upto))
+            rdr = spark.read
+            bsch = self._marker_schema(comp)
+            if bsch is not None:
+                rdr = rdr.schema(bsch)
+            base = rdr.parquet(self._compacted_dir(upto))
             base = base.drop(*comp["partition_cols"]).withColumn(
                 "_b", F.lit(upto).cast("long")
             )
             legs.append(base)
             ids = [i for i in ids if i > upto]
         if ids:
-            df = spark.read.option(
-                "basePath", f"{self.table_dir}/data"
-            ).parquet(f"{self.table_dir}/data")
+            df = self._data_reader(spark, sch).parquet(f"{self.table_dir}/data")
             legs.append(
                 df.where(F.col("batch").cast("long").isin(ids))
                 .withColumn("_b", F.col("batch").cast("long"))
@@ -163,11 +191,8 @@ class MergeSink(CommitLog):
         dirs — consumers must keep up with the compaction cadence, the
         same contract as Iceberg's incremental read vs snapshot expiry).
         """
-        ids = [
-            int(c["batch_id"])
-            for c in self.committed_batches()
-            if int(c["batch_id"]) > since_batch
-        ]
+        commits = self.committed_batches()
+        ids = [int(c["batch_id"]) for c in commits if int(c["batch_id"]) > since_batch]
         missing = [
             i for i in ids
             if not os.path.isdir(f"{self.table_dir}/data/batch={i:012d}")
@@ -178,9 +203,8 @@ class MergeSink(CommitLog):
                 f"from {since_batch} is no longer possible — restart "
                 "the consumer from read_merged()"
             )
-        df = spark.read.option("basePath", f"{self.table_dir}/data").parquet(
-            f"{self.table_dir}/data"
-        )
+        sch = self._marker_schema(commits[-1]) if commits else None
+        df = self._data_reader(spark, sch).parquet(f"{self.table_dir}/data")
         return df.where(F.col("batch").cast("long").isin(ids)).withColumn(
             "batch", F.col("batch").cast("long")
         )
@@ -190,11 +214,8 @@ class MergeSink(CommitLog):
         ``as_of`` committed.  Valid while the constituent batch dirs
         exist (compact+vacuum trades old snapshots for file count, like
         Iceberg snapshot expiry)."""
-        ids = [
-            int(c["batch_id"])
-            for c in self.committed_batches()
-            if int(c["batch_id"]) <= as_of
-        ]
+        commits = self.committed_batches()
+        ids = [int(c["batch_id"]) for c in commits if int(c["batch_id"]) <= as_of]
         if not ids:
             raise FileNotFoundError(f"no committed batches ≤ {as_of}")
         missing = [
@@ -205,9 +226,8 @@ class MergeSink(CommitLog):
             raise ValueError(
                 f"snapshot as of {as_of} needs vacuumed batches {missing}"
             )
-        df = spark.read.option("basePath", f"{self.table_dir}/data").parquet(
-            f"{self.table_dir}/data"
-        )
+        sch = self._marker_schema(commits[-1])
+        df = self._data_reader(spark, sch).parquet(f"{self.table_dir}/data")
         df = df.where(F.col("batch").cast("long").isin(ids)).withColumn(
             "_b", F.col("batch").cast("long")
         ).drop("batch")
@@ -262,7 +282,8 @@ class MergeSink(CommitLog):
             self._compacted_dir(upto)
         )
         return self._write_compaction_marker(
-            upto, {"upto": upto, "partition_cols": pcols}
+            upto,
+            {"upto": upto, "partition_cols": pcols, "schema": merged.schema.json()},
         )
 
     def vacuum(self) -> int:
@@ -294,5 +315,9 @@ class MergeSink(CommitLog):
         comp = self.latest_compaction()
         if comp is None:
             raise FileNotFoundError(f"no compaction in {self.table_dir}")
-        return spark.read.parquet(self._compacted_dir(comp["upto"]))
+        rdr = spark.read
+        bsch = self._marker_schema(comp)
+        if bsch is not None:
+            rdr = rdr.schema(bsch)
+        return rdr.parquet(self._compacted_dir(comp["upto"]))
 

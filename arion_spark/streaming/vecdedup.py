@@ -207,7 +207,8 @@ def run_vec_dedup_stream(
     max_files_per_trigger: int = 1,
 ) -> tuple[StreamingQuery, VecDedupGuard]:
     guard = VecDedupGuard(out_dir, dim, threshold, n_bands, n_planes)
-    off = guard.stream_offset()  # bootstrap → streaming handoff
+    # bootstrap → streaming handoff, epoch-bound to this checkpoint
+    off = guard.stream_offset(checkpoint_dir)
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

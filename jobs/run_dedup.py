@@ -69,7 +69,9 @@ def main(argv: list[str] | None = None) -> int:
         exact_fast_path=args.full_admission,
     )
 
-    off = guard.stream_offset()  # safe to attach after a bootstrap ingest
+    # safe to attach after a bootstrap ingest; epoch-bound to the
+    # checkpoint so a recreated checkpoint can't silently re-process
+    off = guard.stream_offset(args.checkpoint)
 
     def handle(batch_df, batch_id):
         guard.process(batch_df, batch_id + off)
