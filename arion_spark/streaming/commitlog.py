@@ -168,6 +168,35 @@ class CommitLog:
             json.dump({"epoch": epoch}, f)
         os.replace(tmp, epoch_path)
 
+    # -- index-layout pinning -------------------------------------------------
+
+    def _pin_meta(self, **layout) -> None:
+        """Persist index-layout constants (prefix lengths, plane counts)
+        next to the log at FIRST init and refuse mismatched re-opens: a
+        probe pruned with a different layout than the index was written
+        with silently misses duplicates — fail loud instead."""
+        path = f"{self.table_dir}/_guard_meta.json"
+        if os.path.exists(path):
+            with open(path) as f:
+                known = json.load(f)
+            if known != layout:
+                raise ValueError(
+                    f"index layout mismatch at {self.table_dir}: on disk "
+                    f"{known}, requested {layout} — rebuild the index or "
+                    "re-open with the on-disk layout"
+                )
+            return
+        if self.committed_ids():
+            raise ValueError(
+                f"existing index at {self.table_dir} has no _guard_meta.json "
+                "(pre-layout-pinning format); rebuild it, or write the meta "
+                "file matching the layout it was created with"
+            )
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(layout, f)
+        os.replace(tmp, path)
+
     # -- compaction ---------------------------------------------------------
 
     def _compaction_marker(self, upto: int) -> str:
@@ -239,8 +268,13 @@ class CommitLog:
             return prev
         for sub, schema in schemas.items():
             df = self._read_table(spark, sub, schema, ids)
+            pcs = (partition_cols or {}).get(sub, [])
+            if pcs:
+                # one file per partition dir: the base is re-read every
+                # micro-batch, so its file count is probe latency
+                df = df.repartition(*pcs)
             w = df.write.mode("overwrite")
-            for pc in (partition_cols or {}).get(sub, []):
+            for pc in pcs:
                 w = w.partitionBy(pc)
             w.parquet(f"{self.table_dir}/{sub}_base/upto={upto:012d}")
         return self._write_compaction_marker(upto, {"upto": upto})

@@ -12,9 +12,16 @@ queries.q_vec_dedup_keep_first.
 
 State layout:
 * ``vecs/batch=<id>/``    — (vec_id, v): the verification payload.
-* ``buckets/batch=<id>/`` — (vec_id, band, bucket): the banded SRP index
-  (similarity.banded_srp_buckets_udf — one numpy pass per Arrow batch,
-  projections bit-identical to the expression fold and the SQL oracle).
+* ``buckets/batch=<id>/`` — (vec_id, band, bucket, bp): the banded SRP
+  index (similarity.banded_srp_buckets_udf — one numpy pass per Arrow
+  batch, projections bit-identical to the expression fold and the SQL
+  oracle).  ``bp = xxhash64(band, bucket) % n_bp`` (default 256; raise on
+  manifest-backed storage) is the
+  prune cell: per-batch dirs are flat (bp a data column), compact()
+  folds them into a base PARTITIONED by bp, and each probe filters the
+  index to the batch's touched bp values — directory-level pruning over
+  the compacted bulk, the uncompacted tail bounded by compaction
+  cadence.  Probe-scan rows/partitions land in the commit lineage.
   The probe is an equi-join on (band, bucket) with the batch side
   broadcast — history is never shuffled; at cluster scale this table is
   Iceberg bucketed-by(band, bucket) for a storage-partitioned probe.
@@ -48,7 +55,7 @@ VEC_SCHEMA = T.StructType(
 )
 
 _VECS = "vec_id long, v array<double>"
-_BUCKETS = "vec_id long, band int, bucket int"
+_BUCKETS = "vec_id long, band int, bucket int, bp int"
 _WITH_BATCH = ", batch long"
 
 
@@ -79,14 +86,18 @@ class VecDedupGuard(CommitLog):
         threshold: float = 0.9,
         n_bands: int = 32,
         n_planes: int = 12,
+        n_bp: int = 256,
     ):
         self.table_dir = table_dir
         self.dim = dim
         self.threshold = threshold
         self.n_bands = n_bands
         self.n_planes = n_planes
+        self.n_bp = n_bp
         self._bucketer = banded_srp_buckets_udf(dim, n_bands, n_planes)
         self._init_commit_log(table_dir)
+        # index layout (bucketing + prune granularity) is on-disk state
+        self._pin_meta(dim=dim, n_bands=n_bands, n_planes=n_planes, n_bp=n_bp)
 
     _SCHEMAS = {"vecs": _VECS, "buckets": _BUCKETS, "kept": _VECS}
 
@@ -96,8 +107,9 @@ class VecDedupGuard(CommitLog):
     def compact(self, spark: SparkSession) -> dict:
         """Fold the per-batch index dirs into bases (same maintenance
         contract as DedupGuard.compact — the probe re-reads the index
-        every batch, so the small-file tax compounds)."""
-        return self._fold_tables(spark, self._SCHEMAS)
+        every batch, so the small-file tax compounds); the buckets base
+        is partitioned by bp so the probe prunes directories."""
+        return self._fold_tables(spark, self._SCHEMAS, {"buckets": ["bp"]})
 
     def vacuum(self) -> int:
         return self._vacuum_tables(list(self._SCHEMAS))
@@ -135,6 +147,11 @@ class VecDedupGuard(CommitLog):
                 "vec_id",
                 F.posexplode(self._bucketer(F.col("v"))).alias("band", "bucket"),
             )
+            .withColumn(
+                "bp",
+                F.pmod(F.xxhash64("band", "bucket"), F.lit(self.n_bp)).cast("int"),
+            )
+            .sortWithinPartitions("bp")
             .write.mode("overwrite")
             .parquet(bkt_dir)
         )
@@ -153,8 +170,15 @@ class VecDedupGuard(CommitLog):
         rejected = self._verified_earlier_ids(pairs_in, b, b)
 
         ids = self.committed_ids()
+        n_probe_rows = 0
+        n_probe_parts = 0
         if ids:
-            hist_b = self._read_committed(spark, "buckets", ids)
+            bps = [r["bp"] for r in bb.select("bp").distinct().collect()]
+            n_probe_parts = len(bps)
+            hist_b = self._read_committed(spark, "buckets", ids).where(
+                F.col("bp").isin(bps)
+            )
+            n_probe_rows = hist_b.count()  # probe-scan size → lineage
             cand = (
                 hist_b.join(
                     F.broadcast(
@@ -180,6 +204,8 @@ class VecDedupGuard(CommitLog):
             "n_in": n_in,
             "n_kept": n_kept,
             "n_dropped": n_in - n_kept,
+            "n_probe_rows": n_probe_rows,
+            "n_probe_partitions": n_probe_parts,
         }
         self._write_marker(batch_id, marker)
 

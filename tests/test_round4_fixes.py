@@ -142,3 +142,69 @@ def test_fanout_replay_after_vacuum_noops(spark, tmp_path):
     fan.process(df, 0)
     assert fan.committed_consistent()
     assert fan.read_chain(spark).count() == 3
+
+
+def test_guard_probe_pruning_and_lineage(spark, tmp_path):
+    """The history probe must prune by bp (a 1-doc batch touches at most
+    bands distinct prefixes), report probe-scan rows/partitions in the
+    lineage, and reject a layout-mismatched re-open."""
+    from arion_spark.streaming.dedup import DedupGuard
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    g = DedupGuard(str(tmp_path / "g"))
+    g.process(corpus.where("doc_id < 20"), 0)
+    g.process(corpus.where("doc_id >= 20"), 1)
+    g.compact(spark)
+    g.vacuum()
+
+    total_idx = g._read_committed(spark, "buckets", g.committed_ids()).count()
+    one = spark.createDataFrame(
+        [(9000, " ".join(f"q{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    g.process(one, 2)
+    m = g.lineage()[-1]
+    # 1 doc × 4 bands → at most 4 bp cells probed
+    assert 0 < m["n_probe_partitions"] <= 4
+    # pruned probe reads strictly less than the whole index
+    assert m["n_probe_rows"] < total_idx
+    assert m["n_kept"] == 1
+
+    # layout pinning: re-open with a different bp_len must refuse
+    with pytest.raises(ValueError, match="layout mismatch"):
+        DedupGuard(str(tmp_path / "g"), bp_len=3)
+    # matching layout re-opens fine
+    DedupGuard(str(tmp_path / "g"), bp_len=2)
+
+
+def test_vec_guard_probe_pruning_and_lineage(spark, tmp_path):
+    from arion_spark.streaming.vecdedup import VecDedupGuard
+
+    import numpy as np  # noqa: F401  (vectors built inline)
+
+    dim = 8
+
+    def vec(seed):
+        # deterministic, no RNG: spread directions via index arithmetic
+        return [float(((seed * 31 + d * 7) % 17) - 8) for d in range(dim)]
+
+    vecs = [(i, vec(i)) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    g = VecDedupGuard(str(tmp_path / "vg"), dim=dim, n_bands=4, n_planes=6)
+    g.process(df.where("vec_id < 20"), 0)
+    g.process(df.where("vec_id >= 20"), 1)
+    g.compact(spark)
+    g.vacuum()
+
+    total_idx = g._read_committed(spark, "buckets", g.committed_ids()).count()
+    one = spark.createDataFrame(
+        [(9000, vec(99))], "vec_id long, embedding array<double>"
+    )
+    g.process(one, 2)
+    m = g.lineage()[-1]
+    assert 0 < m["n_probe_partitions"] <= 4  # 1 vec × 4 bands
+    assert m["n_probe_rows"] < total_idx
+
+    with pytest.raises(ValueError, match="layout mismatch"):
+        VecDedupGuard(str(tmp_path / "vg"), dim=dim, n_bands=8, n_planes=6)
