@@ -2139,8 +2139,8 @@ def q_event_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile's row assignment and percent_rank are deterministic across
     engines.  The population window is global by definition (one row
     per user after the aggregate — 10^6-10^8 rows at corpus scale, a
-    single-task sort of a narrow 4-column frame); partition it by
-    cohort/day when ranking within cohorts is the product question."""
+    single-task sort of a narrow 4-column frame); the partitioned,
+    scale-safe default is q_event_user_cohorts below."""
     e = _events(spark, sf_dir)
     seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ep = F.col("ts").cast("timestamp").cast("double")
@@ -2182,6 +2182,56 @@ SELECT user_id, n_events, avg_gap_s, total_value,
   round(percent_rank() OVER (ORDER BY total_value DESC, user_id), 6)
     AS value_pr
 FROM per
+"""
+
+
+def q_event_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE form of the population analytics: quartiles and
+    percent_rank within each signup cohort (the user's first-event day)
+    instead of over the whole population.  Every window here is
+    partitioned — no global order anywhere in the plan (asserted in
+    tests/test_plan_shapes.py), so the ranking parallelizes across
+    cohorts at any population size.  This is the variant users should
+    reach for by default; q_event_user_analytics keeps the global
+    ranking with its documented single-task-sort contract for when the
+    product question genuinely needs one total order."""
+    e = _events(spark, sf_dir)
+    per = (
+        e.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("cohort"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    coh = Window.partitionBy("cohort").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return per.select(
+        "user_id",
+        "cohort",
+        "n_events",
+        "total_value",
+        F.ntile(4).over(coh).alias("cohort_quartile"),
+        F.round(F.percent_rank().over(coh), 6).alias("cohort_pr"),
+        F.rank().over(coh).cast("int").alias("cohort_rank"),
+    )
+
+
+_SQL_EVENT_USER_COHORTS = """
+WITH per AS (
+  SELECT user_id,
+    min(cast(ts AS DATE)) AS cohort,
+    cast(count(*) AS INT) AS n_events,
+    round(sum(value), 4) AS total_value
+  FROM events GROUP BY user_id)
+SELECT user_id, cohort, n_events, total_value,
+  cast(ntile(4) OVER w AS INT) AS cohort_quartile,
+  round(percent_rank() OVER w, 6) AS cohort_pr,
+  cast(rank() OVER w AS INT) AS cohort_rank
+FROM per
+WINDOW w AS (PARTITION BY cohort ORDER BY total_value DESC, user_id)
 """
 
 
@@ -2235,6 +2285,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("event_pivot", q_event_pivot, _SQL_EVENT_PIVOT),
     ("event_json_stats", q_event_json_stats, _SQL_EVENT_JSON),
     ("event_user_analytics", q_event_user_analytics, _SQL_EVENT_USER_ANALYTICS),
+    ("event_user_cohorts", q_event_user_cohorts, _SQL_EVENT_USER_COHORTS),
     ("spike_range_join", q_spike_range_join, _SQL_SPIKE_RANGE_JOIN),
 ]
 

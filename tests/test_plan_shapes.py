@@ -57,3 +57,22 @@ def test_chain_queries_prune_scan_columns(spark):
     # transcripts derive from (user_id, ts, event_id [+ text columns for
     # role/turn derivation]); a projection to ids must drop props/event_type
     assert "props" not in scan[0].split("ReadSchema")[1]
+
+
+def test_cohort_analytics_has_no_global_window(spark):
+    """The scale-safe population analytics must not funnel the whole
+    user population through one task: every WindowExec in its plan is
+    partitioned (the global variant q_event_user_analytics keeps its
+    documented single-task contract and is exempt)."""
+    df = q.queries()["event_user_cohorts"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "Window" in plan  # the ranking is really a window
+    for ln in plan.splitlines():
+        if "Window" in ln:
+            assert "No Partition Defined" not in ln
+    # Spark renders unpartitioned windows with an empty partition spec;
+    # assert the cohort key is in every window's partition clause
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
+        assert "cohort" in m.group(0)
