@@ -88,3 +88,78 @@ def cascade_from_minute(minute: DataFrame) -> DataFrame:
 def cascade(t: DataFrame) -> DataFrame:
     """Minute→hour→day cascade as one DataFrame with a ``grain`` column."""
     return cascade_from_minute(_base(t))
+
+
+def spike_islands(
+    m: DataFrame,
+    ts_col: str = "bucket_ts",
+    n_col: str = "n_turns",
+    factor: float = 1.5,
+) -> DataFrame:
+    """Gaps-and-islands spike intervals FROM a minute grain — one row per
+    contiguous run of hot minutes (> ``factor`` × the mean per-minute
+    rate): (start, end, spike_turns).
+
+    Shared by the batch query (queries.spike_intervals, whose oracle
+    pins the semantics) and the continuous detector
+    (streaming/spikes.py), which feeds it the MERGE-sink minute table —
+    so streamed and batch island sets are definitionally identical once
+    every event is within watermark.  Scale shape: day-partitioned
+    island window (no task ever sorts the full minute history), global
+    mean via per-day partials, cross-midnight stitch over ISLAND
+    SUMMARIES only (two islands inside one day always have a gap, so
+    adjacency can only occur at a day boundary)."""
+    from pyspark.sql import Window
+
+    m = m.select(
+        F.col(ts_col).alias("m"), F.col(n_col).cast("long").alias("n")
+    ).withColumn("day", F.date_trunc("day", "m"))
+    day_stats = m.groupBy("day").agg(
+        F.sum("n").alias("dn"), F.count(F.lit(1)).alias("dc")
+    )
+    w_all = Window.partitionBy()
+    day_avg = day_stats.select(
+        "day",
+        (F.sum("dn").over(w_all).cast("double") / F.sum("dc").over(w_all)).alias(
+            "avg_n"
+        ),
+    )
+    hot = m.join(day_avg, "day").where(
+        F.col("n").cast("double") > factor * F.col("avg_n")
+    )
+    w_day = Window.partitionBy("day").orderBy("m")
+    grp = (
+        F.col("m").cast("timestamp").cast("long")
+        - 60 * F.row_number().over(w_day)
+    ).alias("grp")
+    day_islands = (
+        hot.select("day", "m", "n", grp)
+        .groupBy("day", "grp")
+        .agg(
+            F.min("m").alias("start"),
+            (F.max("m") + F.expr("INTERVAL 1 MINUTE")).alias("end"),
+            F.sum("n").alias("spike_turns"),
+        )
+    )
+    # cross-midnight stitch over island summaries (tiny by construction)
+    w_isl = Window.orderBy("start")
+    prev_end = F.lag("end").over(w_isl)
+    stitched = day_islands.select("start", "end", "spike_turns").withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (prev_end != F.col("start")), 1).otherwise(0),
+    )
+    return (
+        stitched.withColumn(
+            "isl",
+            F.sum("new_isl").over(
+                w_isl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("isl")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+            F.sum("spike_turns").alias("spike_turns"),
+        )
+        .drop("isl")
+    )

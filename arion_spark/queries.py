@@ -1925,59 +1925,14 @@ WHERE q * total > cm AND q * total <= cm + bn
 def spike_intervals(t: DataFrame) -> DataFrame:
     """Day-partitioned gaps-and-islands spike detection over a
     transcript-shaped frame (needs a ``ts`` column); returns one row per
-    spike interval: (start, end, spike_turns).  See
-    :func:`q_spike_range_join` for the scale analysis."""
+    spike interval: (start, end, spike_turns).  The island logic lives
+    in operators/rollup.spike_islands (shared with the continuous
+    detector streaming/spikes.py); see :func:`q_spike_range_join` for
+    the scale analysis."""
     m = t.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).withColumn("day", F.date_trunc("day", "m"))
-    day_stats = m.groupBy("day").agg(
-        F.sum("n").alias("dn"), F.count(F.lit(1)).alias("dc")
     )
-    w_all = Window.partitionBy()
-    day_avg = day_stats.select(
-        "day",
-        (F.sum("dn").over(w_all).cast("double") / F.sum("dc").over(w_all)).alias(
-            "avg_n"
-        ),
-    )
-    hot = m.join(day_avg, "day").where(
-        F.col("n").cast("double") > 1.5 * F.col("avg_n")
-    )
-    w_day = Window.partitionBy("day").orderBy("m")
-    grp = (
-        F.col("m").cast("timestamp").cast("long")
-        - 60 * F.row_number().over(w_day)
-    ).alias("grp")
-    day_islands = (
-        hot.select("day", "m", "n", grp)
-        .groupBy("day", "grp")
-        .agg(
-            F.min("m").alias("start"),
-            (F.max("m") + F.expr("INTERVAL 1 MINUTE")).alias("end"),
-            F.sum("n").alias("spike_turns"),
-        )
-    )
-    # cross-midnight stitch over island summaries (tiny by construction)
-    w_isl = Window.orderBy("start")
-    prev_end = F.lag("end").over(w_isl)
-    stitched = day_islands.select("start", "end", "spike_turns").withColumn(
-        "new_isl",
-        F.when(prev_end.isNull() | (prev_end != F.col("start")), 1).otherwise(0),
-    )
-    return (
-        stitched.withColumn(
-            "isl",
-            F.sum("new_isl").over(
-                w_isl.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .groupBy("isl")
-        .agg(
-            F.min("start").alias("start"),
-            F.max("end").alias("end"),
-            F.sum("spike_turns").alias("spike_turns"),
-        )
-    )
+    return op_rollup.spike_islands(m, ts_col="m", n_col="n")
 
 
 def q_spike_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:

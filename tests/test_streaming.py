@@ -1834,3 +1834,68 @@ def test_sink_empty_batch_commits_cleanly(spark, tmp_path):
     assert sink.is_committed(1) and full.is_committed(0)
     assert sink.read_merged(spark).count() == 1
     assert sink.lineage()[1]["rows"] == 0
+
+
+def test_spike_stream_matches_batch_islands_across_restart(spark, tmp_path):
+    """Continuous spike detection from the streaming minute rollup:
+    island set == batch queries.spike_intervals across a mid-stream
+    restart, including a cross-midnight stitched island; per-batch alert
+    lineage is recorded."""
+    from arion_spark.queries import spike_intervals
+    from arion_spark.streaming.spikes import run_spike_stream
+
+    rows = []
+    t0 = datetime(2024, 1, 1, 22, 0)
+    # baseline: 1 turn/minute for 3 hours (crosses midnight at minute 120)
+    for i in range(180):
+        rows.append(_row(f"c{i}", 0, i))
+    # burst A: minutes 30..34, +10 turns each
+    for m in range(30, 35):
+        for j in range(10):
+            rows.append((f"a{m}_{j}", 0, "user", "burst", None,
+                         t0 + timedelta(minutes=m, seconds=5 * j)))
+    # burst B straddling midnight: minutes 118..122 (23:58 → 00:02)
+    for m in range(118, 123):
+        for j in range(10):
+            rows.append((f"b{m}_{j}", 0, "user", "burst", None,
+                         t0 + timedelta(minutes=m, seconds=5 * j)))
+    # shift the baseline rows onto the same t0 axis
+    base = [(c, i, r, x, tl, t0 + (ts - T0)) for c, i, r, x, tl, ts in rows[:180]]
+    df = spark.createDataFrame(
+        base + rows[180:], TRANSCRIPT_SCHEMA
+    ).orderBy("ts")
+
+    replay = str(tmp_path / "replay")
+    chunks = write_replay_chunks(df, replay, n_chunks=4)
+    staged = str(tmp_path / "staged")
+    _stage_chunks(chunks, staged, 0, 2)
+    q, det = run_spike_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    mid = {tuple(r) for r in det.read_spikes(spark).collect()}
+    assert mid  # burst A is inside the first half
+
+    _stage_chunks(chunks, staged, 2, 4)
+    q, det = run_spike_stream(
+        spark, staged, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {tuple(r) for r in det.read_spikes(spark).collect()}
+    want = {tuple(r) for r in spike_intervals(df).collect()}
+    assert got == want and len(want) == 2
+    # the midnight island really stitched across the day boundary
+    midnight = [r for r in want if r[0].day != (r[1] - timedelta(minutes=1)).day]
+    assert len(midnight) == 1
+    # alert lineage: every committed batch carries counts; the batch set
+    # changed at least when each burst appeared
+    al = det.alerts()
+    assert all("n_changed_spikes" in m and "n_spikes" in m for m in al)
+    assert sum(m["n_changed_spikes"] for m in al) >= 2
+    # replayed batch id: snapshot sink no-ops (exactly-once)
+    n_before = len(det.alerts())
+    det.process(spark.createDataFrame([], "bucket_ts timestamp, n_turns long, n_user_turns long, sum_chars long, max_text_len int"), al[-1]["batch_id"])
+    assert len(det.alerts()) == n_before
