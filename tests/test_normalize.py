@@ -130,3 +130,38 @@ def test_chain_order_pre_filter_before_geometry(spark):
         text, width=5, type_="fill", gravity="w", pre_filter=True
     )
     assert got == "x y z"
+
+
+def test_watermark_non_ascii_batch_matches_oracle(spark):
+    """The utf-32 vectorized path (non-ASCII batches / non-ASCII marks)
+    must agree with the pure-Python oracle — this was per-row Python
+    until round 4."""
+    from pyspark.sql import functions as F
+
+    from arion_spark import oracle
+    from arion_spark.operators import normalize as op_norm
+
+    texts = [
+        "héllo wörld this is mixed",
+        "日本語のテキストです 全部マルチバイト",
+        "plain ascii text stays on the fast path",
+        "ünïcödé 123 αβγδε ΑΒΓ",
+        "",
+    ]
+    for mark, wm_type, amount, mn, mx in [
+        ("※", "standard", 0.25, 0.0, 0.0),
+        ("#*", "standard", 0.2, 0.0, 0.0),   # ascii mark, mixed batch
+        ("★☆", "adaptive", 0.0, 0.1, 0.5),
+        ("@", "adaptive", 0.0, 0.2, 0.8),
+    ]:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        wm = op_norm.watermark_udf(mark, wm_type, amount, mn, mx)
+        got = {
+            r.i: r.out
+            for r in df.select("i", wm(F.col("text")).alias("out")).collect()
+        }
+        for i, t in enumerate(texts):
+            want = oracle.watermark_text_op(t, mark, wm_type, amount, mn, mx)
+            assert got[i] == want, (i, t, mark, wm_type)
