@@ -125,6 +125,66 @@ def ann_serve_batch(
     )
 
 
+def brute_force_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k over the FULL index (no bucket pruning) with the
+    serving path's exact scoring and tie-break — the recall ground
+    truth.  Cost is O(index × |queries|): only run it on small samples."""
+    qb = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    idx = spark.read.schema(
+        "neighbor_id long, cv array<double>, bucket int"
+    ).option("basePath", index_dir).parquet(index_dir)
+    scored = (
+        idx.join(F.broadcast(qb))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 3).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ann_serving_recall(
+    spark: SparkSession,
+    index_dir: str,
+    sample_rows: list,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    n_probes: int = 1,
+) -> float:
+    """recall@k of the SRP-pruned serving path vs brute force, for a
+    small sample of this batch's queries: |served ∩ exact| / |exact|.
+    The static index drifts from the live corpus over time — this is the
+    per-batch visibility that says when to rebuild or raise n_probes."""
+    sample = spark.createDataFrame(
+        sample_rows, schema="vec_id long, embedding array<double>"
+    )
+    served = ann_serve_batch(
+        spark, index_dir, sample, dim, k, n_planes, n_probes
+    )
+    exact = brute_force_topk(spark, index_dir, sample, dim, k)
+    got = {(r.query_id, r.neighbor_id) for r in served.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    return round(len(got & want) / len(want), 4) if want else 1.0
+
+
 def run_ann_stream(
     spark: SparkSession,
     replay_dir: str,
@@ -136,6 +196,7 @@ def run_ann_stream(
     n_planes: int = 6,
     n_probes: int = 1,
     max_files_per_trigger: int = 1,
+    recall_sample: int = 4,
 ) -> tuple[StreamingQuery, MergeSink]:
     sink = MergeSink(out_dir, keys=("query_id", "rank"), stats="minimal")
 
@@ -145,7 +206,25 @@ def run_ann_stream(
         res = ann_serve_batch(
             spark, index_dir, batch_df, dim, k, n_planes, n_probes
         )
-        sink.process(res, batch_id)
+        extra = None
+        if recall_sample:
+            # deterministic sample (lowest ids) so replays measure the
+            # same thing; batch_df is a plain file-source batch — the
+            # extra action is a cheap re-read, no stateful upstream
+            rows = (
+                batch_df.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(recall_sample)
+                .collect()
+            )
+            if rows:
+                extra = {
+                    "recall_at_k": ann_serving_recall(
+                        spark, index_dir, rows, dim, k, n_planes, n_probes
+                    ),
+                    "recall_sample": len(rows),
+                }
+        sink.process(res, batch_id, extra=extra)
 
     stream = (
         spark.readStream.schema(VEC_SCHEMA)

@@ -54,8 +54,12 @@ class MergeSink(CommitLog):
 
     # -- write path -----------------------------------------------------------
 
-    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+    def process(
+        self, batch_df: DataFrame, batch_id: int, extra: dict | None = None
+    ) -> None:
         """foreachBatch body.  Idempotent: committed batch ids are no-ops.
+        ``extra`` merges caller-supplied telemetry (e.g. serving recall)
+        into the commit marker.
 
         The micro-batch plan is executed EXACTLY ONCE (the parquet
         write); lineage stats are computed from the written files, not
@@ -98,6 +102,7 @@ class MergeSink(CommitLog):
         else:
             # metadata-only count (parquet footers, no data scan)
             marker["rows"] = written.count()
+        marker.update(extra or {})
         self._write_marker(batch_id, marker)  # atomic commit point
 
     def foreach_batch(self):

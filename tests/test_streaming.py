@@ -1899,3 +1899,41 @@ def test_spike_stream_matches_batch_islands_across_restart(spark, tmp_path):
     n_before = len(det.alerts())
     det.process(spark.createDataFrame([], "bucket_ts timestamp, n_turns long, n_user_turns long, sum_chars long, max_text_len int"), al[-1]["batch_id"])
     assert len(det.alerts()) == n_before
+
+
+def test_ann_serving_recall_telemetry(spark, tmp_path):
+    """Every served batch's commit marker carries sampled recall@k vs
+    brute force; two-probe recall >= single-probe on the same stream."""
+    from arion_spark.streaming.ann import VEC_SCHEMA, build_srp_index, run_ann_stream
+
+    dim, k, planes = 8, 3, 4
+    corpus = spark.createDataFrame(_vec_rows(range(40), dim), VEC_SCHEMA)
+    index_dir = str(tmp_path / "index")
+    build_srp_index(corpus, index_dir, dim, planes)
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    for c in range(2):
+        spark.createDataFrame(
+            _vec_rows(range(c * 4, c * 4 + 4), dim), VEC_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{replay}/chunk={c:04d}")
+
+    def run(tag, probes):
+        q, sink = run_ann_stream(
+            spark, replay, index_dir,
+            str(tmp_path / f"out{tag}"), str(tmp_path / f"ckpt{tag}"),
+            dim=dim, k=k, n_planes=planes, n_probes=probes, recall_sample=4,
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sink.lineage()
+
+    lin1 = run("p1", 1)
+    lin2 = run("p2", 2)
+    for lin in (lin1, lin2):
+        assert lin and all(
+            0.0 <= m["recall_at_k"] <= 1.0 and m["recall_sample"] > 0
+            for m in lin
+        )
+    r1 = sum(m["recall_at_k"] for m in lin1) / len(lin1)
+    r2 = sum(m["recall_at_k"] for m in lin2) / len(lin2)
+    assert r2 >= r1  # multi-probe can only add candidates
