@@ -60,6 +60,7 @@ HEADLINE = [
     "cep_pattern",
     "rollup_cascade",
     "kmv_distinct",
+    "event_user_cohorts",  # r4: partitioned-window population analytics
 ]
 
 
