@@ -51,6 +51,9 @@ LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")
 )
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+JOBS = tuple(
+    os.environ.get("SPARK_GRAFT_SCALING_JOBS", "batch,streaming").split(",")
+)
 
 _SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 _EXTRA_CONF = {"spark.local.dir": f"{_SHM}/arion_spark_local"}
@@ -179,7 +182,7 @@ def main() -> None:
             "protocol": f"taskset-affinity, tmpfs, best-of-{REPEATS}",
             "jobs": {},
         }
-        for mode in ("batch", "streaming"):
+        for mode in JOBS:
             cells = {c: spawn(mode, c, work) for c in LEVELS}
             tp = {c: cells[c]["turns_per_sec"] for c in LEVELS}
             effs = {
