@@ -38,6 +38,7 @@ from arion_spark.functions.similarity import (
     srp_bucket,
     srp_probe_buckets,
 )
+from arion_spark.streaming.commitlog import CommitLog
 from arion_spark.streaming.sink import MergeSink
 
 VEC_SCHEMA = T.StructType(
@@ -66,19 +67,19 @@ def build_srp_index(
     )
 
 
-def ann_serve_batch(
+def ann_serve_index(
     spark: SparkSession,
-    index_dir: str,
+    idx: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 6,
     n_probes: int = 1,
 ) -> DataFrame:
-    """Answer one batch of queries: bucket-prune the index, broadcast
-    the batch, exact cosine on candidates, top-k per query.
-    ``n_probes=2`` adds the lowest-margin plane flip per query
-    (multi-probe recall, ~2× candidates, same index)."""
+    """Answer one batch of queries against ANY (neighbor_id, cv, bucket)
+    index DataFrame: bucket-prune, broadcast the batch, exact cosine on
+    candidates, top-k per query.  ``n_probes=2`` adds the lowest-margin
+    plane flip per query (multi-probe recall, ~2× candidates)."""
     bucket_col = (
         F.explode(srp_probe_buckets(F.col("embedding"), dim, n_planes))
         if n_probes == 2
@@ -100,14 +101,9 @@ def ann_serve_batch(
     qb = spark.createDataFrame(
         q_rows, schema="query_id long, qv array<double>, bucket int"
     )
-    idx = (
-        spark.read.schema("neighbor_id long, cv array<double>, bucket int")
-        .option("basePath", index_dir)
-        .parquet(index_dir)
-        .where(F.col("bucket").isin(probed))
-    )
     scored = (
-        idx.join(F.broadcast(qb), "bucket")
+        idx.where(F.col("bucket").isin(probed))
+        .join(F.broadcast(qb), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -123,6 +119,25 @@ def ann_serve_batch(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ann_serve_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Serve against a static `build_srp_index` directory (the bucket
+    filter prunes its partition dirs — asserted in tests)."""
+    idx = (
+        spark.read.schema("neighbor_id long, cv array<double>, bucket int")
+        .option("basePath", index_dir)
+        .parquet(index_dir)
+    )
+    return ann_serve_index(spark, idx, queries, dim, k, n_planes, n_probes)
 
 
 def brute_force_topk(
@@ -183,6 +198,113 @@ def ann_serving_recall(
     got = {(r.query_id, r.neighbor_id) for r in served.collect()}
     want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     return round(len(got & want) / len(want), 4) if want else 1.0
+
+
+class AnnIndexMaintainer(CommitLog):
+    """Commit-logged INCREMENTAL serving index — closes the loop the
+    recall telemetry opens: telemetry observes the static index drifting
+    from the live corpus; the maintainer repairs it by upserting each
+    corpus micro-batch into the index under the same exactly-once
+    discipline as every sink here.
+
+    Layout: ``index/batch=<id>/bucket=<b>/`` — bucket ids are bounded
+    (2^n_planes, e.g. 64), so per-batch partitionBy is cheap and gives
+    directory-level pruning on BOTH the incremental tail and the
+    compacted base (``compact()`` folds batches into one file per
+    bucket, mirroring the guards).  Serving reads the committed view;
+    answers equal batch ``lsh_topk`` over exactly the committed corpus
+    (deterministic bucket assignment — pinned by test).  At cluster
+    scale this is an Iceberg table bucketed-by(bucket) that the
+    streaming job appends to."""
+
+    _IDX = "neighbor_id long, cv array<double>, bucket int"
+
+    def __init__(self, table_dir: str, dim: int, n_planes: int = 6):
+        self.dim = dim
+        self.n_planes = n_planes
+        self._init_commit_log(table_dir)
+        self._pin_meta(dim=dim, n_planes=n_planes)
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            return
+        spark = batch_df.sparkSession
+        d = f"{self.table_dir}/index/batch={batch_id:012d}"
+        (
+            batch_df.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+                srp_bucket(F.col("embedding"), self.dim, self.n_planes).alias(
+                    "bucket"
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(d)
+        )
+        n = (
+            spark.read.schema(self._IDX).option("basePath", d).parquet(d).count()
+        )
+        self._write_marker(batch_id, {"batch_id": batch_id, "n_vectors": n})
+
+    def foreach_batch(self):
+        return lambda df, bid: self.process(df, bid)
+
+    def compact(self, spark: SparkSession) -> dict:
+        return self._fold_tables(
+            spark, {"index": self._IDX}, {"index": ["bucket"]}
+        )
+
+    def vacuum(self) -> int:
+        return self._vacuum_tables(["index"])
+
+    def read_index(self, spark: SparkSession) -> DataFrame:
+        ids = self.committed_ids()
+        if not ids:
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        return self._read_table(spark, "index", self._IDX, ids)
+
+    def serve(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 5,
+        n_probes: int = 1,
+    ) -> DataFrame:
+        """Top-k against the committed index as of now."""
+        return ann_serve_index(
+            spark, self.read_index(spark), queries, self.dim, k,
+            self.n_planes, n_probes,
+        )
+
+
+def run_index_maintenance_stream(
+    spark: SparkSession,
+    replay_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    n_planes: int = 6,
+    max_files_per_trigger: int = 1,
+) -> tuple[StreamingQuery, AnnIndexMaintainer]:
+    """The corpus-vector stream continuously maintaining the serving
+    index (bootstrap→stream offset handoff included — the standard
+    migration is a bulk build followed by attaching the stream)."""
+    maint = AnnIndexMaintainer(index_dir, dim, n_planes)
+    off = maint.stream_offset(checkpoint_dir)
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    query = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: maint.process(df, bid + off))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return query, maint
 
 
 def run_ann_stream(

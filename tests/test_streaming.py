@@ -1937,3 +1937,108 @@ def test_ann_serving_recall_telemetry(spark, tmp_path):
     r1 = sum(m["recall_at_k"] for m in lin1) / len(lin1)
     r2 = sum(m["recall_at_k"] for m in lin2) / len(lin2)
     assert r2 >= r1  # multi-probe can only add candidates
+
+
+def test_ann_index_maintenance_repairs_drift(spark, tmp_path):
+    """Streamed corpus vectors keep the serving index fresh: before
+    maintenance the served answers equal lsh_topk over the OLD corpus
+    (drift); after the new batch commits they equal lsh_topk over the
+    full corpus, and recall vs the live corpus rises.  Replay no-ops,
+    compact+vacuum preserve answers, layout mismatches refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from arion_spark.functions.similarity import lsh_topk
+    from arion_spark.streaming.ann import (
+        VEC_SCHEMA,
+        AnnIndexMaintainer,
+        run_index_maintenance_stream,
+    )
+
+    dim, k, planes = 8, 3, 4
+    old = spark.createDataFrame(_vec_rows(range(30), dim), VEC_SCHEMA)
+    new = spark.createDataFrame(_vec_rows(range(30, 60), dim), VEC_SCHEMA)
+    full = old.unionByName(new)
+    queries = spark.createDataFrame(_vec_rows(range(45, 53), dim), VEC_SCHEMA)
+
+    idx_dir = str(tmp_path / "idx")
+    maint = AnnIndexMaintainer(idx_dir, dim, planes)
+    maint.process(old, 0)  # bootstrap bulk build
+
+    def served():
+        return {
+            (r.query_id, r.rank): (r.neighbor_id, r.score)
+            for r in maint.serve(spark, queries, k=k).collect()
+        }
+
+    def want(corpus):
+        return {
+            (r.query_id, r.rank): (r.neighbor_id, r.score)
+            for r in lsh_topk(corpus, queries, dim=dim, k=k, n_planes=planes)
+            .collect()
+        }
+
+    before = served()
+    assert before == want(old)  # serving the stale index == batch on OLD
+
+    # attach the maintenance stream for the new vectors
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    new.coalesce(1).write.mode("overwrite").parquet(f"{replay}/chunk=0001")
+    q, maint2 = run_index_maintenance_stream(
+        spark, replay, idx_dir, str(tmp_path / "ckpt"), dim=dim,
+        n_planes=planes,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    after = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in maint2.serve(spark, queries, k=k).collect()
+    }
+    assert after == want(full)  # drift repaired: == batch on FULL corpus
+    assert after != before
+
+    # recall vs the LIVE corpus rises (brute force over full corpus)
+    def recall(answers):
+        from arion_spark.streaming.ann import brute_force_topk
+
+        # brute force over the live corpus == lsh with 0 pruning: use
+        # exact cosine top-k via lsh_topk on a single bucket is not
+        # available; compute with a cross join expression instead
+        cb = full.selectExpr("vec_id as neighbor_id", "embedding as cv")
+        qb = queries.selectExpr("vec_id as query_id", "embedding as qv")
+        from pyspark.sql import Window as W
+        from arion_spark.functions.similarity import cosine as _cos
+
+        scored = (
+            cb.crossJoin(F.broadcast(qb))
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.round(_cos(F.col("qv"), F.col("cv")), 3).alias("s"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k).collect()
+        }
+        got = {(qq, n) for (qq, _rk), (n, _s) in answers.items()}
+        return len(got & exact) / len(exact)
+
+    assert recall(after) >= recall(before)
+
+    # replay no-op + maintenance invariants
+    n_lineage = len(maint2.lineage())
+    maint2.process(new, maint2.committed_ids()[-1])
+    assert len(maint2.lineage()) == n_lineage
+    maint2.compact(spark)
+    assert maint2.vacuum() >= 1
+    assert {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in maint2.serve(spark, queries, k=k).collect()
+    } == want(full)
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        AnnIndexMaintainer(idx_dir, dim, n_planes=6)
