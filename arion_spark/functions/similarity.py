@@ -491,3 +491,164 @@ def cosine_near_dup_pairs_exact(
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the compressed-vector layout ANN runs at
+# 100 TB: a D-dim float vector becomes M uint8 codes (here 64 dims →
+# 8 codes, 32× smaller), and query scoring reads ONLY codes + a
+# per-query lookup table (asymmetric distance computation, ADC).  At
+# cluster scale PQ codes ride in the IVF cells (IVF-PQ); here PQ is its
+# own oracle-checked operator and composes with ivf_topk.
+#
+# Determinism contract (everything the DuckDB oracle mirrors):
+# * sub-codebooks trained by Lloyd steps per subspace — init = the
+#   first k corpus subvectors by id, L2² assignment with the EXACT
+#   left-to-right per-dim op sequence both engines write out, ties →
+#   lowest code, per-dim means rounded to 6 (absorbs summation-order
+#   ulps, same argument as kmeans_centroids), emptied codes keep their
+#   previous centroid;
+# * encoding = same argmin expression;
+# * ADC score = Σ_m round(q_m · cent[m][code_m], 6), summed in subspace
+#   order, rounded to 3 — per-m rounding pins the add order.
+
+
+def _sub_l2(sub: Column, cent: list[float], off: int = 0) -> Column:
+    """Σ_d (sub[off+d] − cent[d])² with left-to-right adds — the same
+    IEEE op sequence the SQL oracle spells out term by term."""
+    d2 = None
+    for d, cv in enumerate(cent):
+        t = F.get(sub, off + d) - F.lit(float(cv))
+        term = t * t
+        d2 = term if d2 is None else d2 + term
+    return d2
+
+
+def _argmin_code(d2s: list[Column]) -> Column:
+    """Index of the first minimum (ties → lowest code id)."""
+    m = F.least(*d2s)
+    code = F.when(d2s[0] == m, F.lit(0))
+    for c in range(1, len(d2s)):
+        code = code.when(d2s[c] == m, F.lit(c))
+    return code.cast("int")
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int = 64,
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks → ``cents[m][code] = [subdim floats]``.
+
+    Distributed shape: assignment is a map-only pass of literal
+    expressions (the codebooks are kilobytes — they live on the driver
+    between iterations, exactly like production PQ training); the
+    update is one groupBy((m is fixed per frame), code, dim) mean.
+    Only k×n_sub×subdim rounded floats are ever collected."""
+    sd = dim // n_sub
+    seed = [
+        r["s"]
+        for r in corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("s"))
+        .collect()
+    ]
+    cents = [[list(vec[m * sd : (m + 1) * sd]) for vec in seed] for m in range(n_sub)]
+    for _ in range(iters):
+        new_cents = []
+        for m in range(n_sub):
+            sub = corpus.select(
+                F.slice(F.col(vec_col).cast("array<double>"), m * sd + 1, sd).alias("s")
+            )
+            d2s = [_sub_l2(F.col("s"), cents[m][c]) for c in range(k)]
+            assigned = sub.select("s", _argmin_code(d2s).alias("code"))
+            means = (
+                assigned.select("code", F.posexplode("s").alias("d", "val"))
+                .groupBy("code", "d")
+                .agg(F.round(F.avg("val"), round_digits).alias("mu"))
+                .collect()
+            )
+            by_code: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_code.setdefault(r["code"], {})[r["d"]] = r["mu"]
+            new_cents.append(
+                [
+                    [by_code[c][d] for d in range(sd)]
+                    if c in by_code
+                    else cents[m][c]  # emptied code keeps its centroid
+                    for c in range(k)
+                ]
+            )
+        cents = new_cents
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cents: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): the 32×-compressed corpus — a pure
+    codegen'd projection (no UDF, no shuffle)."""
+    n_sub = len(cents)
+    sd = len(cents[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for m in range(n_sub):
+        d2s = [_sub_l2(v, cents[m][c], off=m * sd) for c in range(len(cents[m]))]
+        codes.append(_argmin_code(d2s))
+    return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: corpus side touches ONLY its codes (the scan a 100 TB
+    deployment pays is the compressed one); the query side expands into
+    a per-(query, code) literal lookup expression.  Exhaustive over
+    codes — compose with IVF cells to prune, as production IVF-PQ does."""
+    n_sub = len(cents)
+    sd = len(cents[0][0])
+    codes = pq_encode(corpus, cents, id_col, vec_col).withColumnsRenamed(
+        {id_col: "neighbor_id"}
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    qb = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
+
+    def term(m: int) -> Column:
+        # round(q_m · cent[m][code_m], 6): dot written per-dim,
+        # left-to-right, identical to the oracle's spelled-out form
+        expr = F.when(F.lit(False), F.lit(0.0))
+        for c, cent in enumerate(cents[m]):
+            dot = None
+            for d, cv in enumerate(cent):
+                t = F.get(F.col("qv"), m * sd + d) * F.lit(float(cv))
+                dot = t if dot is None else dot + t
+            expr = expr.when(F.get("codes", m) == c, F.round(dot, 6))
+        return expr
+
+    score = None
+    for m in range(n_sub):
+        score = term(m) if score is None else score + term(m)
+    scored = (
+        codes.join(F.broadcast(qb))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(score, 3).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

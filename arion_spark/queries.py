@@ -1044,6 +1044,91 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (the 100 TB compressed-vector layout):
+    64-dim embeddings → 8 sub-codebooks × 16 centroids (one Lloyd step,
+    deterministic init = first-16 subvectors) → 8 uint8 codes per
+    vector (32× smaller than float64); queries score candidates by ADC
+    (per-subspace lookup of q·centroid, codes are all the corpus side
+    reads).  Exhaustive over codes here — production composes with IVF
+    cells (ivf_topk) to prune.  The oracle re-trains the same codebooks
+    in SQL (unrolled Lloyd, the ivf_kmeans_ann pattern) and scores with
+    the identical per-dim op sequence."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = similarity.pq_train(e, dim=64, n_sub=8, k=16, iters=1)
+    return similarity.pq_topk(e, e.where(F.col("vec_id") < 8), cents, k=5)
+
+
+def _sql_pq_ann(dim: int = 64, n_sub: int = 8, kc: int = 16, k: int = 5) -> str:
+    """PQ oracle: per-subspace Lloyd step + ADC scoring, spelled out
+    with the same left-to-right per-dim arithmetic as the Spark side."""
+    sd = dim // n_sub
+
+    def d2(v: str, cent: str, off: int) -> str:
+        return " + ".join(
+            f"({v}[{off + d}]-{cent}[{d}])*({v}[{off + d}]-{cent}[{d}])"
+            for d in range(1, sd + 1)
+        )
+
+    steps = [
+        f"seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {kc}))"
+    ]
+    for m in range(n_sub):
+        off = m * sd
+        steps.append(
+            f"c0_{m} AS (SELECT cid, v[{off + 1}:{off + sd}] AS cent FROM seed)"
+        )
+        steps.append(
+            f"a{m} AS (SELECT vec_id, cid AS code FROM ("
+            f"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY ({d2('e.v', 'c.cent', off)}), c.cid) AS rn "
+            f"FROM e CROSS JOIN c0_{m} c) WHERE rn = 1)"
+        )
+        steps.append(
+            f"u{m} AS (SELECT code, list(mu ORDER BY d) AS cent2 FROM ("
+            f"SELECT a.code, t.d, round(avg(e.v[{off} + t.d]), 6) AS mu "
+            f"FROM a{m} a JOIN e USING (vec_id) CROSS JOIN "
+            f"(SELECT unnest(generate_series(1, {sd})) AS d) t "
+            f"GROUP BY a.code, t.d) GROUP BY code)"
+        )
+        steps.append(
+            f"c1_{m} AS (SELECT s.cid, coalesce(u.cent2, s.cent) AS cent "
+            f"FROM c0_{m} s LEFT JOIN u{m} u ON u.code = s.cid)"
+        )
+        steps.append(
+            f"enc{m} AS (SELECT vec_id, cid AS code FROM ("
+            f"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY ({d2('e.v', 'c.cent', off)}), c.cid) AS rn "
+            f"FROM e CROSS JOIN c1_{m} c) WHERE rn = 1)"
+        )
+    terms = " + ".join(
+        f"round(list_dot_product(q.v[{m * sd + 1}:{m * sd + sd}], cm{m}.cent), 6)"
+        for m in range(n_sub)
+    )
+    joins = " ".join(
+        f"JOIN enc{m} e{m} ON e{m}.vec_id = n.vec_id "
+        f"JOIN c1_{m} cm{m} ON cm{m}.cid = e{m}.code"
+        for m in range(n_sub)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{','.join(steps)},
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    round({terms}, 3) AS score
+  FROM e q CROSS JOIN e n {joins}
+  WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan surface: per-video sample timestamps
     exploded JVM-side from metadata (decode itself stays in
@@ -2217,6 +2302,7 @@ _REGISTRY: list[tuple[str, Callable, str | None]] = [
     ("ivf_ann", q_ivf_ann, _SQL_IVF_ANN),
     ("ivf_kmeans_ann", q_ivf_kmeans_ann, _sql_ivf_kmeans_ann()),
     ("ivf_probe_ann", q_ivf_probe_ann, _SQL_IVF_PROBE_ANN),
+    ("pq_ann", q_pq_ann, _sql_pq_ann()),
     ("frame_sample", q_frame_sample, _SQL_FRAME_SAMPLE),
     ("cosine_near_dup", q_cosine_near_dup, _sql_cosine_near_dup()),
     ("vec_dedup_keep_first", q_vec_dedup_keep_first, _sql_vec_dedup_keep_first()),

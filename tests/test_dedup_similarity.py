@@ -298,3 +298,71 @@ def test_simhash_near_dups_rejects_inexact_params(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="exact"):
         dedup.simhash_near_dups(df, max_hamming=2, n_bands=2)
+
+
+def test_pq_quality_and_compression(spark):
+    """PQ sanity beyond the oracle: codes are bounded (compression is
+    real), training moves centroids off the seed, and ADC top-k recall
+    vs exact cosine beats a random baseline on clustered data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from arion_spark.functions import similarity as sim
+
+    # clustered corpus: 4 well-separated centers + small deterministic
+    # jitter, 64-dim (no RNG state shared with other tests)
+    rnd = random.Random(7)
+    centers = [[rnd.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [v + rnd.uniform(-0.05, 0.05) for v in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = sim.pq_train(df, dim=64, n_sub=8, k=16, iters=1)
+    assert len(cents) == 8 and all(len(cm) == 16 for cm in cents)
+
+    codes = sim.pq_encode(df, cents)
+    stats = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.countDistinct("codes").alias("n_distinct"),
+    ).head()
+    assert 0 <= stats["lo"] and stats["hi"] < 16  # 8 codes in [0,16): 8 bytes/vector
+    assert stats["n_distinct"] > 1
+
+    queries = df.where("vec_id < 8")
+    got = sim.pq_topk(df, queries, cents, k=5)
+    exact = sim.brute_force_topk(df, queries, k=5) if hasattr(sim, "brute_force_topk") else None
+    # exact cosine top-k as ground truth
+    a = df.selectExpr("vec_id as neighbor_id", "embedding as cv")
+    q = queries.selectExpr("vec_id as query_id", "embedding as qv")
+    from pyspark.sql import Window as W
+
+    sc = (
+        a.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            sim.cosine(F.col("qv"), F.col("cv")).alias("s"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sc.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 5").collect()
+    }
+    pq_pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    recall = len(pq_pairs & truth) / len(truth)
+    # exact-rank recall INSIDE a tight 50-member cluster is intrinsically
+    # low for 8-byte codes (reconstruction error >> intra-cluster
+    # distances) — but far above the ~0.03 random baseline
+    assert recall >= 0.1, recall
+    # what 32× compression honestly promises: cluster-level
+    # discrimination — retrieved neighbors come from the query's cluster
+    same_cluster = sum(
+        1 for qid, nid in pq_pairs if qid % 4 == nid % 4
+    ) / len(pq_pairs)
+    assert same_cluster >= 0.9, same_cluster

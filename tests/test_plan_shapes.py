@@ -29,6 +29,7 @@ BNLJ_OK = {
     "ivf_kmeans_ann",  # ditto, trained centroids
     "ivf_probe_ann",   # ditto, multi-probe
     "srp_ann",         # broadcast query-side bucket table
+    "pq_ann",          # ADC scan: codes × broadcast tiny query set
 }
 
 
