@@ -99,6 +99,7 @@ def run_stream_pipeline(
     max_files_per_trigger: int = 1,
     n_buckets: int = DEFAULT_N_BUCKETS,
     sink_stats: str = "full",
+    stream: "DataFrame | None" = None,
 ) -> tuple[StreamingQuery, MergeSink]:
     """Start the streaming chain; returns (query, sink).
 
@@ -107,11 +108,17 @@ def run_stream_pipeline(
 
     ``n_buckets > 0`` uses the bucketed state layout (per-key machinery
     amortized over ~convs/buckets conversations — the at-scale default);
-    ``n_buckets = 0`` keeps one state key per conversation."""
+    ``n_buckets = 0`` keeps one state key per conversation.
+
+    ``stream`` overrides the default parquet replay source with any
+    transcript-schema streaming DataFrame (e.g. a JSONL/CSV landing
+    zone via sources.read_transcripts_stream, or Kafka on a cluster) —
+    the format is the container, the pipeline is the contract."""
     if not isinstance(spec, PipelineSpec):
         spec = parse_spec(spec)
     _check_state_layout(checkpoint_dir, n_buckets)
-    stream = read_replay_stream(spark, replay_dir, max_files_per_trigger)
+    if stream is None:
+        stream = read_replay_stream(spark, replay_dir, max_files_per_trigger)
     if n_buckets:
         folded = ordered_fold_stream_bucketed(
             stream,
