@@ -513,24 +513,50 @@ def cosine_near_dup_pairs_exact(
 #   order, rounded to 3 — per-m rounding pins the add order.
 
 
-def _sub_l2(sub: Column, cent: list[float], off: int = 0) -> Column:
-    """Σ_d (sub[off+d] − cent[d])² with left-to-right adds — the same
-    IEEE op sequence the SQL oracle spells out term by term."""
-    d2 = None
-    for d, cv in enumerate(cent):
-        t = F.get(sub, off + d) - F.lit(float(cv))
-        term = t * t
-        d2 = term if d2 is None else d2 + term
-    return d2
+def _half_up(x, digits):
+    """numpy HALF_UP (away-from-zero) rounding — the rounding Spark's
+    F.round and DuckDB's round() share; np.round is banker's and would
+    diverge at .5 boundaries."""
+    import numpy as np
+
+    p = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
 
 
-def _argmin_code(d2s: list[Column]) -> Column:
-    """Index of the first minimum (ties → lowest code id)."""
-    m = F.least(*d2s)
-    code = F.when(d2s[0] == m, F.lit(0))
-    for c in range(1, len(d2s)):
-        code = code.when(d2s[c] == m, F.lit(c))
-    return code.cast("int")
+def pq_encode_udf(cents):
+    """Arrow-vectorized PQ encoder: full vector → M sub-codebook codes.
+
+    One numpy pass per batch; the d-loop accumulates SEQUENTIALLY in
+    dimension order so every L2² is bit-identical to the SQL oracle's
+    spelled-out left-to-right terms (the banded_srp_buckets_udf
+    discipline); ties → lowest code (np.argmin first-minimum == the
+    oracle's ORDER BY d2, cid).  A literal-expression form was built
+    first and measured 87 s at sf0.1 with a 28.6 MiB task binary — the
+    M·K·subdim CASE tree breaks whole-stage codegen; this UDF is the
+    same math in milliseconds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_arr = np.asarray(cents, dtype=np.float64)  # (M, K, sd)
+    M, K, sd = cent_arr.shape
+
+    def encode(vs):
+        if len(vs) == 0:  # empty Arrow batch guard
+            return pd.Series([], dtype=object)
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        out = np.empty((len(X), M), dtype=np.int32)
+        for m in range(M):
+            sub = X[:, m * sd : (m + 1) * sd]
+            d2 = np.zeros((len(X), K))
+            for d in range(sd):  # sequential over d == the SQL term order
+                t = sub[:, d : d + 1] - cent_arr[m, :, d][None, :]
+                d2 = d2 + t * t
+            out[:, m] = np.argmin(d2, axis=1)  # first min == lowest code
+        return pd.Series(list(out))
+
+    encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(encode, "array<int>")
 
 
 def pq_train(
@@ -545,11 +571,13 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks → ``cents[m][code] = [subdim floats]``.
 
-    Distributed shape: assignment is a map-only pass of literal
-    expressions (the codebooks are kilobytes — they live on the driver
-    between iterations, exactly like production PQ training); the
-    update is one groupBy((m is fixed per frame), code, dim) mean.
-    Only k×n_sub×subdim rounded floats are ever collected."""
+    Distributed shape: assignment is one Arrow-UDF map pass (codebooks
+    are kilobytes — they live on the driver between iterations, exactly
+    like production PQ training); the update is one groupBy(m, code,
+    dim) mean.  Only k×n_sub×subdim rounded floats are ever collected.
+    Init = the first ``k`` corpus vectors by id (deterministic seed);
+    an emptied code keeps its previous centroid — both mirrored by the
+    SQL oracle."""
     sd = dim // n_sub
     seed = [
         r["s"]
@@ -560,31 +588,35 @@ def pq_train(
     ]
     cents = [[list(vec[m * sd : (m + 1) * sd]) for vec in seed] for m in range(n_sub)]
     for _ in range(iters):
-        new_cents = []
-        for m in range(n_sub):
-            sub = corpus.select(
-                F.slice(F.col(vec_col).cast("array<double>"), m * sd + 1, sd).alias("s")
+        enc = corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v")
+        ).select(
+            "v", F.posexplode(pq_encode_udf(cents)(F.col("v"))).alias("m", "code")
+        )
+        means = (
+            enc.select(
+                "m",
+                "code",
+                F.posexplode(F.expr(f"slice(v, m * {sd} + 1, {sd})")).alias(
+                    "d", "val"
+                ),
             )
-            d2s = [_sub_l2(F.col("s"), cents[m][c]) for c in range(k)]
-            assigned = sub.select("s", _argmin_code(d2s).alias("code"))
-            means = (
-                assigned.select("code", F.posexplode("s").alias("d", "val"))
-                .groupBy("code", "d")
-                .agg(F.round(F.avg("val"), round_digits).alias("mu"))
-                .collect()
-            )
-            by_code: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_code.setdefault(r["code"], {})[r["d"]] = r["mu"]
-            new_cents.append(
-                [
-                    [by_code[c][d] for d in range(sd)]
-                    if c in by_code
-                    else cents[m][c]  # emptied code keeps its centroid
-                    for c in range(k)
-                ]
-            )
-        cents = new_cents
+            .groupBy("m", "code", "d")
+            .agg(F.round(F.avg("val"), round_digits).alias("mu"))
+            .collect()
+        )
+        by_mc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_mc.setdefault((r["m"], r["code"]), {})[r["d"]] = r["mu"]
+        cents = [
+            [
+                [by_mc[(m, c)][d] for d in range(sd)]
+                if (m, c) in by_mc
+                else cents[m][c]  # emptied code keeps its centroid
+                for c in range(k)
+            ]
+            for m in range(n_sub)
+        ]
     return cents
 
 
@@ -594,16 +626,12 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes array<int>): the 32×-compressed corpus — a pure
-    codegen'd projection (no UDF, no shuffle)."""
-    n_sub = len(cents)
-    sd = len(cents[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    codes = []
-    for m in range(n_sub):
-        d2s = [_sub_l2(v, cents[m][c], off=m * sd) for c in range(len(cents[m]))]
-        codes.append(_argmin_code(d2s))
-    return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+    """(id, codes array<int>): the 32×-compressed corpus — one narrow
+    Arrow-UDF map, no shuffle."""
+    return corpus.select(
+        F.col(id_col),
+        pq_encode_udf(cents)(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
 
 
 def pq_topk(
@@ -614,38 +642,54 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ADC top-k: corpus side touches ONLY its codes (the scan a 100 TB
-    deployment pays is the compressed one); the query side expands into
-    a per-(query, code) literal lookup expression.  Exhaustive over
-    codes — compose with IVF cells to prune, as production IVF-PQ does."""
-    n_sub = len(cents)
-    sd = len(cents[0][0])
-    codes = pq_encode(corpus, cents, id_col, vec_col).withColumnsRenamed(
-        {id_col: "neighbor_id"}
-    )
-    qv = F.col(vec_col).cast("array<double>")
-    qb = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
+    """ADC top-k: the corpus side touches ONLY its codes (the scan a
+    100 TB deployment pays is the compressed one); each query becomes a
+    per-subspace lookup table (LUT[m][code] = round(q_m·cent, 6),
+    sequential-d dots) computed once on the driver, and scoring is M
+    numpy gathers per candidate — production ADC exactly.  Exhaustive
+    over codes; compose with IVF cells (ivf_topk) to prune."""
+    import numpy as np
+    import pandas as pd
 
-    def term(m: int) -> Column:
-        # round(q_m · cent[m][code_m], 6): dot written per-dim,
-        # left-to-right, identical to the oracle's spelled-out form
-        expr = F.when(F.lit(False), F.lit(0.0))
-        for c, cent in enumerate(cents[m]):
-            dot = None
-            for d, cv in enumerate(cent):
-                t = F.get(F.col("qv"), m * sd + d) * F.lit(float(cv))
-                dot = t if dot is None else dot + t
-            expr = expr.when(F.get("codes", m) == c, F.round(dot, 6))
-        return expr
+    cent_arr = np.asarray(cents, dtype=np.float64)  # (M, K, sd)
+    M, K, sd = cent_arr.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)  # (nq, dim)
+    lut = np.zeros((len(qids), M, K))
+    for m in range(M):
+        qsub = Q[:, m * sd : (m + 1) * sd]
+        acc = np.zeros((len(qids), K))
+        for d in range(sd):  # sequential over d == list_dot_product order
+            acc = acc + np.multiply.outer(qsub[:, d], cent_arr[m, :, d])
+        lut[:, m, :] = _half_up(acc, 6)
 
-    score = None
-    for m in range(n_sub):
-        score = term(m) if score is None else score + term(m)
-    scored = (
-        codes.join(F.broadcast(qb))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(score, 3).alias("score"))
-    )
+    codes = pq_encode(corpus, cents, id_col, vec_col)
+
+    def score_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cc = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, M)
+            nid = pdf[id_col].to_numpy()
+            for qi in range(len(qids)):
+                acc = np.zeros(len(cc))
+                for m in range(M):  # sequential over m == the oracle's + order
+                    acc = acc + lut[qi, m, cc[:, m]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "neighbor_id": nid,
+                        "score": _half_up(acc, 3),
+                    }
+                )
+
+    scored = codes.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1051,9 +1051,12 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector (32× smaller than float64); queries score candidates by ADC
     (per-subspace lookup of q·centroid, codes are all the corpus side
     reads).  Exhaustive over codes here — production composes with IVF
-    cells (ivf_topk) to prune.  The oracle re-trains the same codebooks
-    in SQL (unrolled Lloyd, the ivf_kmeans_ann pattern) and scores with
-    the identical per-dim op sequence."""
+    cells (ivf_topk) to prune.  Encoding and ADC run as one numpy pass
+    per Arrow batch (a literal-expression form measured 87 s at sf0.1
+    with a 28.6 MiB task binary — the M·K·subdim CASE tree breaks
+    codegen; see pq_encode_udf).  The oracle re-trains the same
+    codebooks in SQL (unrolled Lloyd, the ivf_kmeans_ann pattern) and
+    scores with the identical per-dim op sequence."""
     e = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )

@@ -61,6 +61,7 @@ HEADLINE = [
     "rollup_cascade",
     "kmv_distinct",
     "event_user_cohorts",  # r4: partitioned-window population analytics
+    "pq_ann",              # r4: product-quantized ANN (ADC over codes)
 ]
 
 
