@@ -38,7 +38,10 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
-    df = spark.read.parquet(args.input)
+    # multi-format input (json:/csv:/parquet: scheme or extension)
+    from arion_spark import sources
+
+    df = sources.read_transcripts(spark, args.input)
     out = run_pipeline(spark, json.loads(spec), df)
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

@@ -62,15 +62,24 @@ def main(argv: list[str] | None = None) -> int:
     cap = ProgressCapture()
     spark.streams.addListener(cap)
 
+    # multi-format input: json:/csv:/parquet: scheme or extension
+    # resolution (arion_spark.sources) — a JSONL landing zone streams
+    # through the same pipeline as the parquet replay
+    from arion_spark import sources
+
+    stream = sources.read_transcripts_stream(
+        spark, args.input, args.max_files_per_trigger
+    )
     query, sink = run_stream_pipeline(
         spark,
         json.loads(spec),
-        args.input,
+        None,
         args.output,
         args.checkpoint,
         watermark=args.watermark,
         session_gap_ms=args.session_gap_ms,
         max_files_per_trigger=args.max_files_per_trigger,
+        stream=stream,
     )
 
     def stop(*_a):

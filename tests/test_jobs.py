@@ -59,3 +59,48 @@ def test_run_dedup_job_once(spark, tmp_path):
     g = DedupGuard(str(tmp_path / "out"))
     kept = {r["doc_id"] for r in g.read_kept(spark).collect()}
     assert len(kept) == line["n_kept"] and all(k < 1000 for k in kept)
+
+
+def test_run_batch_job_multiformat_input(spark, tmp_path):
+    """run_batch accepts a JSONL input URL (arion_spark.sources
+    resolution) and produces the same chain output as a parquet input
+    of the same corpus."""
+    import sys as _sys
+
+    from datetime import datetime, timedelta
+
+    from arion_spark import sources
+    from arion_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    _sys.path.insert(0, str(ROOT / "jobs"))
+    import run_batch
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("c1", i, "user", f"turn text {i}", None, t0 + timedelta(minutes=i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    sources.write_transcripts(df, f"json:{tmp_path}/in_json")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/in_parquet")
+
+    spec = json.dumps(
+        {"operations": [{"type": "fingerprint", "params": {"type": "md5"}}]}
+    )
+    assert run_batch.main([
+        "--spec", spec,
+        "--input", f"json:{tmp_path}/in_json",
+        "--output", f"{tmp_path}/out_json",
+    ]) == 0
+    assert run_batch.main([
+        "--spec", spec,
+        "--input", f"{tmp_path}/in_parquet",
+        "--output", f"{tmp_path}/out_parquet",
+    ]) == 0
+    a = spark.read.parquet(f"{tmp_path}/out_json")
+    b = spark.read.parquet(f"{tmp_path}/out_parquet")
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    cols = sorted(set(a.columns) & set(b.columns))
+    ra = sorted(a.select(*cols).collect(), key=key)
+    rb = sorted(b.select(*cols).collect(), key=key)
+    assert ra == rb and len(ra) == 6
