@@ -67,14 +67,35 @@ def resolve(url: str) -> tuple[str, str]:
     return _EXT.get(ext, "parquet"), url
 
 
-def _reader(spark: SparkSession, fmt: str, schema: str):
-    r = spark.read.schema(schema)
+#: shared row-codec options so every reader, the file-stream reader and
+#: the writer agree on one CSV dialect (RFC-4180 double-quote escaping,
+#: multiLine so quoted embedded newlines — normal for transcript text —
+#: stay one record instead of silently splitting into null-filled
+#: fragment rows under PERMISSIVE).
+_CSV_OPTS = {
+    "header": "true",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "escape": '"',
+    # the CSV *writer* defaults these to true and silently trims
+    # leading/trailing whitespace (incl. a trailing newline) out of
+    # quoted values — transcript text must round-trip byte-identical
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+
+
+def _codec_read_options(fmt: str) -> dict[str, str]:
     if fmt == "csv":
-        # header + ISO timestamps: the exact form write_transcripts emits
-        r = r.option("header", "true").option(
-            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
-        )
-    return r.format(fmt)
+        # FAILFAST: a malformed ingest row is an error at the front door,
+        # never a silent null-filled row downstream.
+        return {**_CSV_OPTS, "multiLine": "true", "mode": "FAILFAST"}
+    if fmt == "json":
+        return {"mode": "FAILFAST"}
+    return {}
+
+
+def _reader(spark: SparkSession, fmt: str, schema: str):
+    return spark.read.schema(schema).options(**_codec_read_options(fmt)).format(fmt)
 
 
 def read_table(spark: SparkSession, url: str, schema: str) -> DataFrame:
@@ -97,11 +118,9 @@ def read_transcripts_stream(
     """Streaming twin: a landing directory of JSONL/CSV/parquet files is
     a file-stream source under the same schema contract."""
     fmt, path = resolve(url)
-    r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
-    if fmt == "csv":
-        r = r.option("header", "true").option(
-            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
-        )
+    r = spark.readStream.schema(TRANSCRIPT_SCHEMA).options(
+        **_codec_read_options(fmt)
+    )
     return (
         r.option("maxFilesPerTrigger", max_files_per_trigger)
         .option("recursiveFileLookup", "true")
@@ -116,7 +135,5 @@ def write_transcripts(df: DataFrame, url: str) -> None:
     fmt, path = resolve(url)
     w = df.write.mode("overwrite")
     if fmt == "csv":
-        w = w.option("header", "true").option(
-            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
-        )
+        w = w.options(**_CSV_OPTS)
     w.format(fmt).save(path)

@@ -223,7 +223,11 @@ class AnnIndexMaintainer(CommitLog):
         self.dim = dim
         self.n_planes = n_planes
         self._init_commit_log(table_dir)
-        self._pin_meta(dim=dim, n_planes=n_planes)
+        # pre-pinning indexes used the same schema at n_planes=6: a
+        # meta-less index re-opened at that default is adopted
+        self._pin_meta(
+            _legacy_layout={"dim": dim, "n_planes": 6}, dim=dim, n_planes=n_planes
+        )
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):

@@ -122,10 +122,19 @@ class CommitLog:
                 os.replace(tmp, path)
                 return off_doc["offset"]
             if ck_epoch is None:
+                ids = self.committed_ids()
+                if not ids or max(ids) < off_doc["offset"]:
+                    # first-start crash window: the offset file landed
+                    # (written first, see below) but the epoch file did
+                    # not — no stream batch was ever committed under
+                    # this offset, so adopting this checkpoint is safe.
+                    self._write_epoch(epoch_path, known)
+                    return off_doc["offset"]
                 raise RuntimeError(
                     f"checkpoint {checkpoint_dir} carries no stream epoch but "
-                    f"{path} is bound to epoch {known}: the checkpoint was "
-                    "deleted or recreated, so replayed source data would be "
+                    f"{path} is bound to epoch {known} and stream batches "
+                    "were committed under it: the checkpoint was deleted or "
+                    "recreated, so replayed source data would be "
                     "re-processed under fresh batch ids. Wipe "
                     "_stream_offset.json together with the checkpoint (and "
                     "accept re-ingest), or restore the original checkpoint."
@@ -138,15 +147,28 @@ class CommitLog:
                 )
             return off_doc["offset"]
         if ck_epoch is not None:
+            if not self.committed_ids():
+                # legacy first-start crash window (epoch written before
+                # offset by pre-round-5 code) on an EMPTY commit log:
+                # nothing was ever committed, re-initializing loses
+                # nothing — bind a fresh offset to the existing epoch.
+                return self._write_stream_offset(path, ck_epoch)
             raise RuntimeError(
                 f"{path} is missing but checkpoint {checkpoint_dir} already "
-                f"has stream epoch {ck_epoch}: the offset file was lost, and "
-                "restarting would renumber batches over committed ids. "
-                "Restore _stream_offset.json or wipe the checkpoint with it."
+                f"has stream epoch {ck_epoch} and the commit log is "
+                "non-empty: the offset file was lost, and restarting would "
+                "renumber batches over committed ids. Restore "
+                "_stream_offset.json or wipe the checkpoint with it."
             )
+        # offset file FIRST (it carries the epoch), epoch file second:
+        # a crash between the two leaves a recoverable state (the
+        # adopt-checkpoint branch above), whereas the reverse order left
+        # an epoch with no offset — a false-positive 'offset lost' error
+        # on a stream that never committed anything.
         epoch = uuid.uuid4().hex
+        off = self._write_stream_offset(path, epoch)
         self._write_epoch(epoch_path, epoch)
-        return self._write_stream_offset(path, epoch)
+        return off
 
     def _write_stream_offset(self, path: str, epoch: str | None) -> int:
         ids = self.committed_ids()
@@ -170,11 +192,18 @@ class CommitLog:
 
     # -- index-layout pinning -------------------------------------------------
 
-    def _pin_meta(self, **layout) -> None:
+    def _pin_meta(self, _legacy_layout: dict | None = None, **layout) -> None:
         """Persist index-layout constants (prefix lengths, plane counts)
         next to the log at FIRST init and refuse mismatched re-opens: a
         probe pruned with a different layout than the index was written
-        with silently misses duplicates — fail loud instead."""
+        with silently misses duplicates — fail loud instead.
+
+        ``_legacy_layout`` is the layout pre-pinning code hard-coded
+        (e.g. DedupGuard bp_len=1 before round 4).  An existing index
+        with committed ids but no meta file is unambiguous iff the
+        caller requests exactly that legacy layout — auto-adopt it by
+        writing the meta file instead of forcing a rebuild; any OTHER
+        requested layout on a meta-less index stays a hard error."""
         path = f"{self.table_dir}/_guard_meta.json"
         if os.path.exists(path):
             with open(path) as f:
@@ -186,11 +215,12 @@ class CommitLog:
                     "re-open with the on-disk layout"
                 )
             return
-        if self.committed_ids():
+        if self.committed_ids() and layout != _legacy_layout:
             raise ValueError(
                 f"existing index at {self.table_dir} has no _guard_meta.json "
-                "(pre-layout-pinning format); rebuild it, or write the meta "
-                "file matching the layout it was created with"
+                "(pre-layout-pinning format); rebuild it, re-open with the "
+                f"legacy layout {_legacy_layout}, or write the meta file "
+                "matching the layout it was created with"
             )
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:

@@ -77,7 +77,11 @@ class SpikeRollup(CommitLog):
                 "batch_id": batch_id,
                 "n_spikes": n_cur,
                 "n_changed_spikes": n_changed,
-                "schema": _SPIKES,
+                # "schema" is uniformly StructType JSON across every
+                # sink's markers (MergeSink._marker_schema parses it);
+                # a DDL string here would be a latent JSONDecodeError
+                # trap for any shared marker reader
+                "schema": cur.schema.json(),
             },
         )
 

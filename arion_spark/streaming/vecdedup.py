@@ -87,6 +87,7 @@ class VecDedupGuard(CommitLog):
         n_bands: int = 32,
         n_planes: int = 12,
         n_bp: int = 256,
+        stats: str = "minimal",
     ):
         self.table_dir = table_dir
         self.dim = dim
@@ -94,9 +95,14 @@ class VecDedupGuard(CommitLog):
         self.n_bands = n_bands
         self.n_planes = n_planes
         self.n_bp = n_bp
+        # "full" counts the pruned history scan per batch (a second
+        # action over the probe I/O) — opt-in lineage, same as DedupGuard
+        self.stats = stats
         self._bucketer = banded_srp_buckets_udf(dim, n_bands, n_planes)
         self._init_commit_log(table_dir)
-        # index layout (bucketing + prune granularity) is on-disk state
+        # index layout (bucketing + prune granularity) is on-disk state.
+        # No _legacy_layout here: pre-pinning vec indexes lack the bp
+        # column entirely, so a meta-less index genuinely needs a rebuild.
         self._pin_meta(dim=dim, n_bands=n_bands, n_planes=n_planes, n_bp=n_bp)
 
     _SCHEMAS = {"vecs": _VECS, "buckets": _BUCKETS, "kept": _VECS}
@@ -170,7 +176,7 @@ class VecDedupGuard(CommitLog):
         rejected = self._verified_earlier_ids(pairs_in, b, b)
 
         ids = self.committed_ids()
-        n_probe_rows = 0
+        n_probe_rows = None
         n_probe_parts = 0
         if ids:
             bps = [r["bp"] for r in bb.select("bp").distinct().collect()]
@@ -178,7 +184,8 @@ class VecDedupGuard(CommitLog):
             hist_b = self._read_committed(spark, "buckets", ids).where(
                 F.col("bp").isin(bps)
             )
-            n_probe_rows = hist_b.count()  # probe-scan size → lineage
+            if self.stats == "full":
+                n_probe_rows = hist_b.count()  # probe-scan size → lineage
             cand = (
                 hist_b.join(
                     F.broadcast(

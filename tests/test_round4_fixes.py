@@ -110,18 +110,37 @@ def test_stream_offset_epoch_binds_checkpoint(spark, tmp_path):
     assert off == 1  # after bootstrap batch 0
     assert sink.stream_offset(ck) == 1  # restart: same checkpoint, same offset
 
-    # checkpoint deleted/recreated → replayed data would get fresh ids:
-    # refuse to start instead of double-processing
+    # checkpoint deleted/recreated BEFORE any stream batch committed =
+    # the first-start crash window (offset file written, epoch file
+    # lost): nothing can double-process, so the new checkpoint is
+    # adopted at the same offset instead of refused
+    shutil.rmtree(ck)
+    os.makedirs(ck)
+    assert sink.stream_offset(ck) == 1
+    assert os.path.exists(f"{ck}/_arion_stream_epoch.json")  # re-bound
+
+    # ... but once a stream batch IS committed under the offset, a
+    # recreated checkpoint means replayed source data would re-process
+    # under fresh ids: refuse
+    sink.process(
+        spark.createDataFrame([_row("c1", 1, 1)], TRANSCRIPT_SCHEMA), 1
+    )
     shutil.rmtree(ck)
     os.makedirs(ck)
     with pytest.raises(RuntimeError, match="deleted or recreated"):
         sink.stream_offset(ck)
 
-    # offset file lost while checkpoint survives → refuse (ids would
-    # collide with committed batches)
+    # offset file lost while checkpoint survives: recoverable iff the
+    # commit log is empty (nothing was ever committed), refused once
+    # batches exist (fresh ids would collide with committed ones)
     sink2 = MergeSink(str(tmp_path / "t2"))
     ck2 = str(tmp_path / "ckpt2")
     sink2.stream_offset(ck2)
+    os.remove(f"{tmp_path}/t2/_stream_offset.json")
+    assert sink2.stream_offset(ck2) == 0  # empty log → safe re-init
+    sink2.process(
+        spark.createDataFrame([_row("c9", 0, 0)], TRANSCRIPT_SCHEMA), 0
+    )
     os.remove(f"{tmp_path}/t2/_stream_offset.json")
     with pytest.raises(RuntimeError, match="offset file was lost"):
         sink2.stream_offset(ck2)
@@ -152,7 +171,7 @@ def test_guard_probe_pruning_and_lineage(spark, tmp_path):
 
     rows = [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(40)]
     corpus = spark.createDataFrame(rows, "doc_id long, text string")
-    g = DedupGuard(str(tmp_path / "g"))
+    g = DedupGuard(str(tmp_path / "g"), stats="full")
     g.process(corpus.where("doc_id < 20"), 0)
     g.process(corpus.where("doc_id >= 20"), 1)
     g.compact(spark)
@@ -173,9 +192,9 @@ def test_guard_probe_pruning_and_lineage(spark, tmp_path):
 
     # layout pinning: re-open with a different bp_len must refuse
     with pytest.raises(ValueError, match="layout mismatch"):
-        DedupGuard(str(tmp_path / "g"), bp_len=3)
-    # matching layout re-opens fine
-    DedupGuard(str(tmp_path / "g"), bp_len=2)
+        DedupGuard(str(tmp_path / "g"), bp_len=2)
+    # matching layout (the scale-safe default, bp_len=3) re-opens fine
+    DedupGuard(str(tmp_path / "g"), bp_len=3)
 
 
 def test_vec_guard_probe_pruning_and_lineage(spark, tmp_path):
@@ -191,7 +210,9 @@ def test_vec_guard_probe_pruning_and_lineage(spark, tmp_path):
 
     vecs = [(i, vec(i)) for i in range(40)]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
-    g = VecDedupGuard(str(tmp_path / "vg"), dim=dim, n_bands=4, n_planes=6)
+    g = VecDedupGuard(
+        str(tmp_path / "vg"), dim=dim, n_bands=4, n_planes=6, stats="full"
+    )
     g.process(df.where("vec_id < 20"), 0)
     g.process(df.where("vec_id >= 20"), 1)
     g.compact(spark)

@@ -40,6 +40,12 @@ def _fixture(spark):
         ("c1", 2, "tool", "search(q)", "search", T0 + timedelta(seconds=45)),
         ("c2", 0, "user", "unicode ünïcödé 日本語", None, T0 + timedelta(minutes=5)),
         ("c2", 1, "assistant", None, None, T0 + timedelta(minutes=6)),  # null text
+        # embedded newlines + quotes + separator: normal for transcript
+        # text, and exactly what breaks a non-multiLine CSV read
+        ("c3", 0, "user", 'line one\nline two, with "quotes"\n\nand a blank', None,
+         T0 + timedelta(minutes=7)),
+        ("c3", 1, "assistant", "windows\r\nnewline, trailing\n", None,
+         T0 + timedelta(minutes=8)),
     ]
     return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
 
@@ -75,7 +81,7 @@ def test_jsonl_landing_zone_streams_through_pipeline(spark, tmp_path):
     from arion_spark.streaming.pipeline import run_stream_pipeline
     from arion_spark.streaming.sink import MergeSink
 
-    df = _fixture(spark).where("text IS NOT NULL")
+    df = _fixture(spark).where("text IS NOT NULL AND conv_id IN ('c1', 'c2')")
     # two jsonl chunks (files are the replay units)
     sources.write_transcripts(df.where("conv_id = 'c1'"), f"json:{tmp_path}/land/a")
     sources.write_transcripts(df.where("conv_id = 'c2'"), f"json:{tmp_path}/land/b")

@@ -47,11 +47,11 @@ def main(
     base_docs: int = 12_500,
     doublings: int = 3,
     probe_docs: int = 64,
-    bp_len: int = 2,
+    bp_len: int = 3,
 ):
     spark = get_spark("bench_probe_growth", cpus=8)
     work = tempfile.mkdtemp(prefix="probe_growth_")
-    guard = DedupGuard(f"{work}/guard", bp_len=bp_len)
+    guard = DedupGuard(f"{work}/guard", bp_len=bp_len, stats="full")
     bid = 0
     corpus = 0
     points = []
