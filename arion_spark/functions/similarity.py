@@ -634,6 +634,30 @@ def pq_encode(
     )
 
 
+def _adc_lut(queries: DataFrame, cent_arr, id_col: str, vec_col: str):
+    """Per-query ADC lookup tables: ``lut[q][m][code] = round(q_m·cent,
+    6)`` with sequential-d dots (== the SQL oracle's list_dot_product
+    term order).  Queries are a small collected batch — LUTs are
+    kilobytes and ride to executors inside the scoring closure."""
+    import numpy as np
+
+    M, K, sd = cent_arr.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)  # (nq, dim)
+    lut = np.zeros((len(qids), M, K))
+    for m in range(M):
+        qsub = Q[:, m * sd : (m + 1) * sd]
+        acc = np.zeros((len(qids), K))
+        for d in range(sd):  # sequential over d == list_dot_product order
+            acc = acc + np.multiply.outer(qsub[:, d], cent_arr[m, :, d])
+        lut[:, m, :] = _half_up(acc, 6)
+    return qids, lut
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -653,19 +677,7 @@ def pq_topk(
 
     cent_arr = np.asarray(cents, dtype=np.float64)  # (M, K, sd)
     M, K, sd = cent_arr.shape
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).collect()
-    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    Q = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)  # (nq, dim)
-    lut = np.zeros((len(qids), M, K))
-    for m in range(M):
-        qsub = Q[:, m * sd : (m + 1) * sd]
-        acc = np.zeros((len(qids), K))
-        for d in range(sd):  # sequential over d == list_dot_product order
-            acc = acc + np.multiply.outer(qsub[:, d], cent_arr[m, :, d])
-        lut[:, m, :] = _half_up(acc, 6)
+    qids, lut = _adc_lut(queries, cent_arr, id_col, vec_col)
 
     codes = pq_encode(corpus, cents, id_col, vec_col)
 
@@ -695,4 +707,91 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_cents: DataFrame,
+    pq_cents: list[list[list[float]]],
+    k: int = 5,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF×PQ — the production 100 TB ANN shape: the coarse quantizer
+    prunes cells, ADC scores within the probed cells only.
+
+    The index is built in one map pass (broadcast centroids, Arrow-UDF
+    PQ encode) and is the ONLY thing the corpus side ever re-reads:
+    ``(neighbor_id, cell_id, M uint8 codes)`` — ~33 bytes/vector at
+    dim=64, a 16×-smaller scan than raw float64 even before cell
+    pruning.  Queries assign to their ``n_probes`` best cells (the
+    standard IVF recall dial), the candidate set is the equi-join of
+    the compressed index against the broadcast query-cell table —
+    shuffle-free on the corpus side — and scoring is M numpy LUT
+    gathers per candidate (see pq_topk).  Per-query top-k is one
+    window over the probed candidates.
+
+    At cluster scale the index is written partitioned by cell_id, so
+    the probe join becomes directory-pruned reads of just the probed
+    cells: scan cost = corpus × n_probes/n_cells × 1/16 of raw.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_arr = np.asarray(pq_cents, dtype=np.float64)  # (M, K, sd)
+    M, K, sd = cent_arr.shape
+    qids, lut = _adc_lut(queries, cent_arr, id_col, vec_col)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    # compressed index: (neighbor_id, cell_id, codes) — one map pass
+    index = _assign_cells(corpus, coarse_cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell_id",
+        pq_encode_udf(pq_cents)(F.col(vec_col).cast("array<double>")).alias(
+            "codes"
+        ),
+    )
+    probes = _assign_cells(
+        queries, coarse_cents, id_col, vec_col, n_probes=n_probes
+    ).select(F.col(id_col).alias("query_id"), "cell_id")
+
+    cand = (
+        index.join(F.broadcast(probes), "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "codes")
+    )
+
+    def score_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cc = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, M)
+            qi = np.array([qpos[q] for q in pdf["query_id"]], dtype=np.int64)
+            acc = np.zeros(len(cc))
+            for m in range(M):  # sequential over m == the oracle's + order
+                acc = acc + lut[qi, m, cc[:, m]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": _half_up(acc, 3),
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

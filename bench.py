@@ -36,7 +36,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
 
-#: oracle-backed operator queries that form the headline batch suite
+#: the headline batch cells, timed first and in a stable order so their
+#: numbers stay comparable across rounds (BENCH_r01..r04); ann_topk was
+#: retired from the registry in round 5 (exact-baseline, not a user
+#: query) and left this list with it
 HEADLINE = [
     "chain_flagship",
     "read_meta_full",
@@ -55,13 +58,13 @@ HEADLINE = [
     "lsh_dup_pairs",
     "jaccard_near_dups",
     "cosine_near_dup",
-    "ann_topk",
     "asof_join",
     "cep_pattern",
     "rollup_cascade",
     "kmv_distinct",
     "event_user_cohorts",  # r4: partitioned-window population analytics
     "pq_ann",              # r4: product-quantized ANN (ADC over codes)
+    "ivf_pq_ann",          # r5: composed IVF×PQ (the production shape)
 ]
 
 
@@ -70,14 +73,19 @@ def _run_to_noop(df) -> None:
 
 
 def bench_batch(spark) -> dict[str, float]:
+    """Time EVERY registered query (VERDICT r4 task 5: 28 of 52 had no
+    sf0.1 timing history, so a regression there was invisible) —
+    headline cells first in their historical order, then the rest of
+    the registry alphabetically."""
     from arion_spark import queries as q
 
     registry = q.queries()
     # warmup: pay JVM/codegen/Arrow startup outside the timed region
     _run_to_noop(registry["chain_flagship"](spark, SF_DIR).limit(100))
 
+    order = HEADLINE + sorted(set(registry) - set(HEADLINE))
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         t0 = time.perf_counter()
         _run_to_noop(registry[name](spark, SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)

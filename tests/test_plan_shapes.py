@@ -24,13 +24,86 @@ SF_DIR = "/root/testdata/sf0.001"
 #: "loop" is O(N·k) with k ≤ a few dozen — the correct exact baseline
 #: shape, not an accident.
 BNLJ_OK = {
-    "ann_topk",        # exact brute-force baseline: corpus × broadcast queries
-    "ivf_ann",         # broadcast centroid assignment (4 rows)
-    "ivf_kmeans_ann",  # ditto, trained centroids
+    "ivf_kmeans_ann",  # broadcast centroid assignment (4 trained rows)
     "ivf_probe_ann",   # ditto, multi-probe
-    "srp_ann",         # broadcast query-side bucket table
     "pq_ann",          # ADC scan: codes × broadcast tiny query set
+    "ivf_pq_ann",      # broadcast centroid assignment + cell-pruned ADC
 }
+
+#: queries allowed an UNPARTITIONED window (single-task sort), each with
+#: the reason its frame is O(small) — anything else in the registry that
+#: grows a global window fails test_no_unpartitioned_window.  The
+#: population-scale global window (q_event_user_analytics) was retired
+#: from the registry in round 5; its scale-safe replacements are
+#: event_user_cohorts and the two-phase event_global_ranks.
+WINDOW_OK = {
+    # kmeans seed: row_number over an orderBy().limit(k) frame — k=4 rows
+    "ivf_kmeans_ann": "seed row_number over a LIMIT 4 frame",
+    "ivf_pq_ann": "seed row_number over LIMIT 4 / LIMIT 16 frames",
+    # two-phase global rank: the merge window runs over the per-partition
+    # counts frame — O(num shuffle partitions) rows by construction
+    "event_global_ranks": "offset/total window over the O(P) counts frame",
+    # island recompute: windows over the minute-grain summary — O(islands)
+    # and O(days), never raw turns (see streaming/spikes.py docstring)
+    "spike_range_join": "island/day summary frames, O(minutes-grain)",
+}
+
+
+def _split_top(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def unpartitioned_window_specs(plan: str) -> list[str]:
+    """Every ``windowspecdefinition(...)`` in the plan whose argument
+    list starts with an ordering expression or a frame — i.e. has no
+    partition columns: the single-task global-sort shape."""
+    import re
+
+    bad = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        start, depth, i = m.end(), 1, m.end()
+        while depth and i < len(plan):
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_top(plan[start : i - 1])
+        first = args[0] if args else ""
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\b(ASC|DESC) NULLS", first
+        ):
+            bad.append(plan[m.start() : i][:140])
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(q.queries()))
+def test_no_unpartitioned_window(spark, name):
+    """No registered query may sort an unbounded frame in one task: a
+    windowspecdefinition with no partition columns is allowed only for
+    the whitelisted O(small)-frame cases above (VERDICT r4 task)."""
+    df = q.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    bad = unpartitioned_window_specs(plan)
+    if name in WINDOW_OK:
+        return  # documented bounded frame
+    assert not bad, (
+        f"{name}: unpartitioned window(s) — single-task global sort "
+        f"sneaked in: {bad[:2]}"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(q.queries()))
@@ -77,3 +150,32 @@ def test_cohort_analytics_has_no_global_window(spark):
 
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
         assert "cohort" in m.group(0)
+
+
+def test_two_phase_global_rank_equals_single_window(spark):
+    """event_global_ranks (range-repartition → partition-local rank →
+    O(P) offset merge) must equal the retired single-window form
+    row-for-row — rank, percent_rank AND the closed-form ntile(4)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.user_id, r.value_rank, r.value_pr, r.value_quartile)
+        for r in q.queries()["event_global_ranks"](spark, SF_DIR).collect()
+    }
+    per = (
+        q._events(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    ref = {
+        (r.user_id, r.value_rank, r.value_pr, r.value_quartile)
+        for r in per.select(
+            "user_id",
+            F.row_number().over(w).cast("int").alias("value_rank"),
+            F.round(F.percent_rank().over(w), 6).alias("value_pr"),
+            F.ntile(4).over(w).cast("int").alias("value_quartile"),
+        ).collect()
+    }
+    assert got == ref
