@@ -213,6 +213,20 @@ class DedupGuard(CommitLog):
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
             return
+        self._write_marker(batch_id, self._admit(batch_df, batch_id))
+
+    def _materialize_pairs(self, spark, batch_id: int, pairs: DataFrame) -> DataFrame:
+        """Hook for subclasses that persist the verified near-dup PAIRS
+        (ClusterMaintainer): the default guard only needs the rejected
+        ids, so the pairs frame passes through untouched."""
+        return pairs
+
+    def _admit(self, batch_df: DataFrame, batch_id: int) -> dict:
+        """One admission batch: write the docs/buckets index, verify
+        within-batch and vs-history candidates, write kept/ — everything
+        EXCEPT the commit marker (returned for the caller to extend and
+        write: the marker stays the single atomic commit point even when
+        a subclass adds work after admission)."""
         spark = batch_df.sparkSession
         docs_dir = f"{self.table_dir}/docs/batch={batch_id:012d}"
         bkt_dir = f"{self.table_dir}/buckets/batch={batch_id:012d}"
@@ -288,9 +302,9 @@ class DedupGuard(CommitLog):
             )
             .distinct()
         )
-        rejected = dedup.jaccard_pairs(
+        verified = dedup.jaccard_pairs(
             None, pairs_in, threshold=self.threshold, prepared=b
-        ).select(F.col("id_b").alias("doc_id"))
+        ).select("id_a", "id_b")
 
         # 4. vs history: candidate ids via the narrow bucket index
         #    (batch side broadcast — history is never shuffled), exact
@@ -325,8 +339,14 @@ class DedupGuard(CommitLog):
             )
             rej_hist = dedup.jaccard_pairs(
                 None, cand, threshold=self.threshold, prepared=all_docs
-            ).select(F.col("id_b").alias("doc_id"))
-            rejected = rejected.unionByName(rej_hist)
+            ).select("id_a", "id_b")
+            verified = verified.unionByName(rej_hist)
+
+        # id_b is always the LATER doc (within-batch x<y; history id_a):
+        # keep-first == drop every id_b.  Subclasses may persist the
+        # pair set itself first (cluster maintenance).
+        verified = self._materialize_pairs(spark, batch_id, verified)
+        rejected = verified.select(F.col("id_b").alias("doc_id"))
 
         kept = b.join(rejected.distinct(), "doc_id", "left_anti").select(
             "doc_id", "text"
@@ -345,7 +365,7 @@ class DedupGuard(CommitLog):
             "n_probe_rows": n_probe_rows,
             "n_probe_partitions": n_probe_parts,
         }
-        self._write_marker(batch_id, marker)  # atomic commit point
+        return marker
 
     def foreach_batch(self):
         return lambda df, bid: self.process(df, bid)

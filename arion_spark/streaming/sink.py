@@ -1,8 +1,9 @@
 """Exactly-once MERGE sink: ``foreachBatch`` + parquet + commit log.
 
-Iceberg jars are not available in this sandbox (re-checked 2026-08-18:
-no iceberg/delta/hudi jar anywhere on the filesystem, no delta-spark
-package, no ivy cache, Maven Central unreachable — no network), so
+Iceberg jars are not available in this sandbox (re-checked 2026-08-18,
+round 5: no iceberg/delta/hudi jar anywhere on the filesystem, no
+pyiceberg or delta-spark package, zero iceberg jars under pyspark/jars,
+no ivy cache, Maven Central unreachable — no network), so
 MERGE-on-key exactly-once is implemented
 with the same contract Iceberg's ``MERGE INTO (conv_id, turn_idx)``
 would give (SURVEY.md §7 M5 fallback):
