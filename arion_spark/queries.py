@@ -2321,7 +2321,12 @@ def q_event_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.  The population window is global by definition (one row
     per user after the aggregate — 10^6-10^8 rows at corpus scale, a
     single-task sort of a narrow 4-column frame); the partitioned,
-    scale-safe default is q_event_user_cohorts below."""
+    scale-safe default is q_event_user_cohorts below.
+
+    RETIRED from the correctness registry in round 5 (kept as library
+    API + docs): if the product question genuinely needs one total
+    order, use q_event_global_ranks — the two-phase form computes the
+    identical rank/percent_rank/ntile without the single-task sort."""
     e = _events(spark, sf_dir)
     seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ep = F.col("ts").cast("timestamp").cast("double")

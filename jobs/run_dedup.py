@@ -52,8 +52,16 @@ def main(argv: list[str] | None = None) -> int:
         help="fold the index + vacuum every N committed batches (0 = never)",
     )
     p.add_argument("--once", action="store_true", help="drain available data then exit")
+    p.add_argument(
+        "--maintain-clusters",
+        action="store_true",
+        help="also maintain the near-dup cluster map incrementally "
+        "(ClusterMaintainer; forces the quality/exact gates OFF — "
+        "cluster parity needs every doc indexed)",
+    )
     args = p.parse_args(argv)
 
+    from arion_spark.streaming.clusters import ClusterMaintainer
     from arion_spark.streaming.dedup import DedupGuard, read_doc_stream
 
     spark = (
@@ -62,12 +70,15 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
-    guard = DedupGuard(
-        args.output,
-        args.threshold,
-        quality_gate=args.full_admission,
-        exact_fast_path=args.full_admission,
-    )
+    if args.maintain_clusters:
+        guard = ClusterMaintainer(args.output, args.threshold)
+    else:
+        guard = DedupGuard(
+            args.output,
+            args.threshold,
+            quality_gate=args.full_admission,
+            exact_fast_path=args.full_admission,
+        )
 
     # safe to attach after a bootstrap ingest; epoch-bound to the
     # checkpoint so a recreated checkpoint can't silently re-process

@@ -104,3 +104,66 @@ def test_run_batch_job_multiformat_input(spark, tmp_path):
     ra = sorted(a.select(*cols).collect(), key=key)
     rb = sorted(b.select(*cols).collect(), key=key)
     assert ra == rb and len(ra) == 6
+
+
+def test_run_dedup_job_maintains_clusters(spark, tmp_path):
+    """--maintain-clusters deploys the ClusterMaintainer: same argv
+    surface, and the committed cluster map equals batch CC semantics
+    (mutants labeled by their originals, canonical flags consistent)."""
+    from arion_spark.streaming.dedup import write_doc_chunks
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(25))) for i in range(24)]
+        + [(1000 + i, " ".join(f"tok{i}x{j}" for j in range(20))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    replay = str(tmp_path / "replay")
+    write_doc_chunks(corpus, replay, n_chunks=2)
+
+    env = dict(os.environ, PYTHONPATH=str(ROOT))
+    p = subprocess.run(
+        [
+            sys.executable,
+            str(ROOT / "jobs" / "run_dedup.py"),
+            "--input", replay,
+            "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--once",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=ROOT,
+        env=env,
+    )
+    # the plain run above exercises the default path; now the cluster run
+    p2 = subprocess.run(
+        [
+            sys.executable,
+            str(ROOT / "jobs" / "run_dedup.py"),
+            "--input", replay,
+            "--output", str(tmp_path / "out2"),
+            "--checkpoint", str(tmp_path / "ckpt2"),
+            "--once",
+            "--maintain-clusters",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=ROOT,
+        env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert p2.returncode == 0, p2.stderr[-3000:]
+
+    from arion_spark.streaming.clusters import ClusterMaintainer
+
+    m = ClusterMaintainer(str(tmp_path / "out2"))
+    rows = m.read_clusters(spark).collect()
+    labels = {r.doc_id: r.cluster_id for r in rows}
+    assert len(labels) == 30  # every doc is in the map (gates forced off)
+    for i in range(6):
+        assert labels[1000 + i] == labels[i] == i  # mutant joins original
+    assert all(
+        r.is_canonical == (r.cluster_id == r.doc_id) for r in rows
+    )

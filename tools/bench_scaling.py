@@ -27,9 +27,19 @@ observed in this sandbox):
   stalls; the minimum wall measures the engine, not the host.
 * **Fresh JVM per cell** (subprocess) — no cross-level reuse.
 
+* **Interleaved median-of-3 runs** (``--interleaved``, round 5): round 4
+  scored 2-of-5 runs ≥0.8 on a host whose 8-core cell swung ±20%
+  same-day — sequential cells let one neighbor burst land entirely on
+  one side of the ratio.  The headline protocol now alternates the
+  2-core and 8-core cells within each run (lo,hi,lo,hi,lo,hi — a burst
+  degrades both sides), takes the per-cell MEDIAN of 3 measurements
+  (a median absorbs one stall; best-of hides systematic slowdowns),
+  and reports the MEDIAN-run efficiency across ≥3 such runs.
+
 Usage::
 
     python tools/bench_scaling.py                 # full matrix → JSON
+    python tools/bench_scaling.py --interleaved   # headline 2→8 protocol
     python tools/bench_scaling.py --child batch 8 /path  # one cell
 """
 
@@ -51,6 +61,12 @@ LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")
 )
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+#: files per micro-batch trigger: with 128 replay files, 32 → 4 batches.
+#: Fixed per-batch driver costs (planning, offset log, commit marker) are
+#: a SERIAL floor f in T_N = W/N + f — at 12.8M turns a ~3 s/batch floor
+#: costs ~0.1 of measured 2→8 efficiency.  Sizing micro-batches to
+#: amortize fixed costs is exactly what a throughput deployment does.
+MFT = int(os.environ.get("SPARK_GRAFT_SCALING_MFT", "32"))
 JOBS = tuple(
     os.environ.get("SPARK_GRAFT_SCALING_JOBS", "batch,streaming").split(",")
 )
@@ -134,7 +150,7 @@ def run_streaming(cpus: int, work: str) -> float:
         t0 = time.perf_counter()
         query, _sink = run_stream_pipeline(
             spark, _SPEC, f"{work}/replay", f"{out}/t_{rep}", f"{out}/c_{rep}",
-            watermark="10 minutes", max_files_per_trigger=32,
+            watermark="10 minutes", max_files_per_trigger=MFT,
             sink_stats="minimal",
         )
         query.processAllAvailable()
@@ -169,9 +185,77 @@ def spawn(mode: str, cpus: int, work: str) -> dict:
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
+def main_interleaved(
+    runs: int = 3, reps: int = 3, lo: int = 2, hi: int = 8,
+    mode: str = "streaming",
+) -> None:
+    """The round-5 headline protocol (see module docstring): per run,
+    alternate lo/hi cells ``reps`` times each, per-cell median, per-run
+    efficiency; headline = median over ``runs``."""
+    import statistics
+
+    # each spawn = one fresh-JVM measurement; repetition lives up here
+    os.environ["SPARK_GRAFT_SCALING_REPEATS"] = "1"
+    work = tempfile.mkdtemp(prefix="arion_scaling_", dir=_SHM)
+    try:
+        spawn("prepare", 0, work)
+        n = TURNS if mode == "streaming" else BATCH_TURNS
+        run_rows = []
+        for r in range(runs):
+            walls: dict[int, list[float]] = {lo: [], hi: []}
+            for i in range(reps):
+                for c in (lo, hi):  # interleave within the run
+                    cell = spawn(mode, c, work)
+                    walls[c].append(cell["wall_sec"])
+                    print(
+                        f"# run{r + 1} rep{i + 1} {mode}@{c}: "
+                        f"{cell['wall_sec']}s ({cell['turns_per_sec']}/s)",
+                        file=sys.stderr,
+                    )
+            med = {c: statistics.median(walls[c]) for c in (lo, hi)}
+            tp = {c: n / med[c] for c in (lo, hi)}
+            eff = round(tp[hi] / ((hi / lo) * tp[lo]), 3)
+            run_rows.append(
+                {
+                    "walls_sec": {str(c): [round(w, 3) for w in walls[c]] for c in (lo, hi)},
+                    "median_wall_sec": {str(c): round(med[c], 3) for c in (lo, hi)},
+                    "median_turns_per_sec": {str(c): round(tp[c], 1) for c in (lo, hi)},
+                    "efficiency": eff,
+                }
+            )
+            print(f"# run{r + 1}: eff_{lo}to{hi}={eff}", file=sys.stderr)
+        effs = sorted(r["efficiency"] for r in run_rows)
+        print(
+            json.dumps(
+                {
+                    "protocol": (
+                        f"interleaved {lo}/{hi}-core cells ({reps}× each per "
+                        f"run, alternating), per-cell median, {runs} runs, "
+                        "headline = median-run efficiency; taskset affinity, "
+                        "tmpfs, warmup, fresh JVM per cell"
+                    ),
+                    "mode": mode,
+                    "turns": n,
+                    "runs": run_rows,
+                    "headline_efficiency_median_run": effs[len(effs) // 2],
+                    "min_run_efficiency": effs[0],
+                    "max_run_efficiency": effs[-1],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--interleaved":
+        main_interleaved(
+            runs=int(sys.argv[2]) if len(sys.argv) > 2 else 3,
+            reps=int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
         return
 
     work = tempfile.mkdtemp(prefix="arion_scaling_", dir=_SHM)
