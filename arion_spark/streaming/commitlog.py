@@ -251,20 +251,47 @@ class CommitLog:
         return marker
 
     def _read_table(
-        self, spark: SparkSession, sub: str, schema: str, ids: list[int]
+        self,
+        spark: SparkSession,
+        sub: str,
+        schema: str,
+        ids: list[int],
+        partition_filter: dict[str, list] | None = None,
     ) -> DataFrame:
         """Committed view of one batch-versioned table: compacted base
         (if any) plus still-incremental batch dirs, payload columns
         only.  Explicit schema — zero-row batches write empty dirs where
-        inference would fail."""
+        inference would fail.
+
+        ``partition_filter`` ({col: values}) prunes the BASE leg by
+        constructing the touched partition paths directly instead of
+        letting Spark's file index list the whole base (a bp_len=3
+        buckets base has 4096 dirs; per-probe-batch discovery of all of
+        them was the measured local cost of the finer prune cells —
+        manifest-backed tables get this for free, the direct paths are
+        the local twin of that manifest lookup).  Callers must still
+        apply the equivalent row filter for the incremental legs, where
+        the column is data, not a partition."""
         comp = self.latest_compaction()
         legs = []
         if comp is not None:
-            legs.append(
-                spark.read.schema(schema).parquet(
-                    f"{self.table_dir}/{sub}_base/upto={comp['upto']:012d}"
-                )
-            )
+            base = f"{self.table_dir}/{sub}_base/upto={comp['upto']:012d}"
+            if partition_filter:
+                ((col, vals),) = partition_filter.items()
+                # existence check = the manifest lookup at cluster scale
+                paths = [
+                    p
+                    for p in (f"{base}/{col}={v}" for v in vals)
+                    if os.path.isdir(p)
+                ]
+                if paths:
+                    legs.append(
+                        spark.read.schema(schema)
+                        .option("basePath", base)
+                        .parquet(*paths)
+                    )
+            else:
+                legs.append(spark.read.schema(schema).parquet(base))
             ids = [i for i in ids if i > comp["upto"]]
         if ids:
             legs.append(

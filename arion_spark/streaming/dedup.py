@@ -183,11 +183,19 @@ class DedupGuard(CommitLog):
 
     _SCHEMAS = {"docs": _DOCS_IDX, "buckets": _BUCKET_IDX, "kept": _KEPT}
 
-    def _read_committed(self, spark: SparkSession, sub: str, ids: list[int]) -> DataFrame:
+    def _read_committed(
+        self,
+        spark: SparkSession,
+        sub: str,
+        ids: list[int],
+        partition_filter: dict[str, list] | None = None,
+    ) -> DataFrame:
         """Current committed view of one index table (see
         CommitLog._read_table): compacted base plus incremental batch
         dirs, payload columns only, explicit schemas throughout."""
-        return self._read_table(spark, sub, self._SCHEMAS[sub], ids)
+        return self._read_table(
+            spark, sub, self._SCHEMAS[sub], ids, partition_filter
+        )
 
     # -- index compaction -----------------------------------------------------
     #
@@ -314,9 +322,11 @@ class DedupGuard(CommitLog):
         if ids:
             bps = [r["bp"] for r in bb.select("bp").distinct().collect()]
             n_probe_parts = len(bps)
-            hist_b = self._read_committed(spark, "buckets", ids).where(
-                F.col("bp").isin(bps)
-            )
+            # base leg: touched-cell paths read directly (no 4096-dir
+            # listing); the isin filter still prunes the incremental tail
+            hist_b = self._read_committed(
+                spark, "buckets", ids, partition_filter={"bp": bps}
+            ).where(F.col("bp").isin(bps))
             # probe-scan size is THE per-batch scale number for this
             # guard (VERDICT r3) — but counting it is a second action
             # over the pruned index, so it runs only under stats="full"

@@ -107,8 +107,16 @@ class VecDedupGuard(CommitLog):
 
     _SCHEMAS = {"vecs": _VECS, "buckets": _BUCKETS, "kept": _VECS}
 
-    def _read_committed(self, spark: SparkSession, sub: str, ids: list[int]) -> DataFrame:
-        return self._read_table(spark, sub, self._SCHEMAS[sub], ids)
+    def _read_committed(
+        self,
+        spark: SparkSession,
+        sub: str,
+        ids: list[int],
+        partition_filter: dict[str, list] | None = None,
+    ) -> DataFrame:
+        return self._read_table(
+            spark, sub, self._SCHEMAS[sub], ids, partition_filter
+        )
 
     def compact(self, spark: SparkSession) -> dict:
         """Fold the per-batch index dirs into bases (same maintenance
@@ -181,9 +189,11 @@ class VecDedupGuard(CommitLog):
         if ids:
             bps = [r["bp"] for r in bb.select("bp").distinct().collect()]
             n_probe_parts = len(bps)
-            hist_b = self._read_committed(spark, "buckets", ids).where(
-                F.col("bp").isin(bps)
-            )
+            # base leg: touched-cell paths read directly (no per-batch
+            # full-base listing); isin still prunes the incremental tail
+            hist_b = self._read_committed(
+                spark, "buckets", ids, partition_filter={"bp": bps}
+            ).where(F.col("bp").isin(bps))
             if self.stats == "full":
                 n_probe_rows = hist_b.count()  # probe-scan size → lineage
             cand = (
