@@ -738,6 +738,46 @@ def ivf_pq_topk(
     the probe join becomes directory-pruned reads of just the probed
     cells: scan cost = corpus × n_probes/n_cells × 1/16 of raw.
     """
+    # compressed index: (neighbor_id, cell_id, codes) — one map pass
+    index = pq_cell_index(corpus, coarse_cents, pq_cents, id_col, vec_col)
+    probes = _assign_cells(
+        queries, coarse_cents, id_col, vec_col, n_probes=n_probes
+    ).select(F.col(id_col).alias("query_id"), "cell_id")
+    return pq_adc_topk(index, probes, queries, pq_cents, k, id_col, vec_col)
+
+
+def pq_cell_index(
+    corpus: DataFrame,
+    coarse_cents: DataFrame,
+    pq_cents: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF×PQ index rows: ``(neighbor_id, cell_id, codes)`` — one
+    broadcast-centroid + Arrow-UDF map pass, no shuffle.  This is the
+    ONLY representation of the corpus a serving deployment keeps."""
+    return _assign_cells(corpus, coarse_cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell_id",
+        pq_encode_udf(pq_cents)(F.col(vec_col).cast("array<double>")).alias(
+            "codes"
+        ),
+    )
+
+
+def pq_adc_topk(
+    index: DataFrame,
+    probes: DataFrame,
+    queries: DataFrame,
+    pq_cents: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over a prebuilt (neighbor_id, cell_id, codes) index and
+    a (query_id, cell_id) probe table — the scoring core shared by the
+    batch composition (ivf_pq_topk) and the streaming serving index
+    (streaming/pqann.py), so their answers are equal by construction."""
     import numpy as np
     import pandas as pd
 
@@ -745,18 +785,6 @@ def ivf_pq_topk(
     M, K, sd = cent_arr.shape
     qids, lut = _adc_lut(queries, cent_arr, id_col, vec_col)
     qpos = {int(q): i for i, q in enumerate(qids)}
-
-    # compressed index: (neighbor_id, cell_id, codes) — one map pass
-    index = _assign_cells(corpus, coarse_cents, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        "cell_id",
-        pq_encode_udf(pq_cents)(F.col(vec_col).cast("array<double>")).alias(
-            "codes"
-        ),
-    )
-    probes = _assign_cells(
-        queries, coarse_cents, id_col, vec_col, n_probes=n_probes
-    ).select(F.col(id_col).alias("query_id"), "cell_id")
 
     cand = (
         index.join(F.broadcast(probes), "cell_id")

@@ -2149,3 +2149,97 @@ def test_cluster_maintainer_crash_window_heals(spark, tmp_path):
     assert {
         (r.doc_id, r.cluster_id) for r in m.read_clusters(spark).collect()
     } == want
+
+
+def test_pq_index_serving_matches_batch_ivf_pq(spark, tmp_path):
+    """IVF×PQ serving index (streaming/pqann.py): served answers equal
+    the batch composition (ivf_pq_topk) over exactly the committed
+    corpus — stale before the maintenance stream runs, full after,
+    across a checkpoint restart; quantizers are pinned on disk
+    (mismatched re-open refuses, bare re-open loads them); compression
+    lineage records code vs raw bytes; compact+vacuum preserve answers."""
+    import pytest as _pytest
+
+    from arion_spark.functions.similarity import (
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_train,
+    )
+    from arion_spark.streaming.ann import VEC_SCHEMA
+    from arion_spark.streaming.pqann import (
+        PqIndexMaintainer,
+        run_pq_index_stream,
+    )
+
+    dim = 8
+    old = spark.createDataFrame(_vec_rows(range(30), dim), VEC_SCHEMA)
+    new = spark.createDataFrame(_vec_rows(range(30, 60), dim), VEC_SCHEMA)
+    full = old.unionByName(new)
+    queries = spark.createDataFrame(_vec_rows(range(45, 53), dim), VEC_SCHEMA)
+
+    # bootstrap training over the OLD corpus (production: train once,
+    # pin, rebuild to retrain)
+    cents_df = kmeans_centroids(old, k=3, iters=1)
+    coarse = [
+        r["cent"] for r in cents_df.orderBy("cell_id").collect()
+    ]
+    pq = pq_train(old, dim=dim, n_sub=4, k=8, iters=1)
+
+    idx_dir = str(tmp_path / "pqidx")
+    maint = PqIndexMaintainer(idx_dir, dim, coarse, pq)
+    maint.process(old, 0)  # bootstrap bulk build
+
+    def served(m, n_probes=2):
+        return {
+            (r.query_id, r.rank): (r.neighbor_id, r.score)
+            for r in m.serve(spark, queries, k=3, n_probes=n_probes).collect()
+        }
+
+    def want(corpus, n_probes=2):
+        return {
+            (r.query_id, r.rank): (r.neighbor_id, r.score)
+            for r in ivf_pq_topk(
+                corpus, queries, cents_df, pq, k=3, n_probes=n_probes
+            ).collect()
+        }
+
+    assert served(maint) == want(old)  # stale index == batch on OLD
+
+    # maintenance stream commits the new vectors; restart mid-way
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    new.where("vec_id < 45").coalesce(1).write.parquet(f"{replay}/chunk=0001")
+    q, m2 = run_pq_index_stream(
+        spark, replay, idx_dir, str(tmp_path / "ckpt"), dim=dim
+    )
+    q.processAllAvailable()
+    q.stop()
+    new.where("vec_id >= 45").coalesce(1).write.parquet(f"{replay}/chunk=0002")
+    q, m2 = run_pq_index_stream(  # checkpoint restart, quantizers from disk
+        spark, replay, idx_dir, str(tmp_path / "ckpt"), dim=dim
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert served(m2) == want(full)  # drift repaired == batch on FULL
+    # single-probe serving matches single-probe batch too
+    assert served(m2, n_probes=1) == want(full, n_probes=1)
+
+    # compression lineage: 4 int codes vs 8 doubles per vector
+    lin = m2.lineage()
+    assert all(r["code_bytes"] * 16 == r["raw_bytes"] for r in lin)
+    assert sum(r["n_vectors"] for r in lin) == 60
+
+    # compact + vacuum preserve answers; replayed id no-ops
+    before = served(m2)
+    m2.compact(spark)
+    assert m2.vacuum() >= 1
+    assert served(m2) == before
+    m2.process(old, 0)
+    assert served(m2) == before and len(m2.lineage()) == len(lin)
+
+    # quantizer pinning: mismatched codebooks refuse, bare re-open loads
+    with _pytest.raises(ValueError, match="quantizer mismatch"):
+        PqIndexMaintainer(idx_dir, dim, coarse, pq_train(full, dim=dim, n_sub=4, k=8, iters=1))
+    again = PqIndexMaintainer(idx_dir, dim)
+    assert again.pq_cents == pq and again.coarse_cents == [list(c) for c in coarse]
